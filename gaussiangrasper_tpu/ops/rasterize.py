@@ -1,0 +1,338 @@
+"""Tile-based differentiable rasterization of projected 2D Gaussians.
+
+TPU-native replacement for the reference's CUDA `RasterizeGaussians` /
+`NDRasterizeGaussians` (call sites /root/reference/nerfstudio/models/
+gaussian_splatting.py:735-784). The reference launches FOUR CUDA rasterize
+passes per step (rgb, feature, depth, normal) sharing one sort; here the
+caller concatenates all channels and composites them in ONE pass.
+
+Design (no atomics, no dynamic shapes — everything maps onto sort + prefix
+sums + one big matmul, which is what the TPU is built for):
+
+1. depth order   — one global `argsort` over N Gaussians. Per-tile lists
+                   inherit depth order from it, so no (tile, depth) key sort
+                   is needed (the CUDA kernel must sort per-tile because its
+                   lists are built with atomics; ours are built stably).
+2. tile binning  — each Gaussian emits its covered tile rectangle (bounded
+                   by `max_tiles_per_gaussian`); pairs are stably sorted by
+                   tile id alone (single int32 key) and sliced into fixed-
+                   capacity per-tile index lists [T, K].
+3. compositing   — per tile: alpha in closed form, transmittance via an
+                   exclusive cumulative sum of log(1 - alpha) along K (the
+                   associative-scan form of sequential front-to-back
+                   blending, bit-equivalent in exact arithmetic), then the
+                   weighted color sum is a single [P, K] @ [K, C] matmul on
+                   the MXU. Tiles are processed in chunks under `lax.map`
+                   with rematerialization, so peak memory is one chunk.
+
+Sequential-semantics parity with the CUDA kernel:
+- alpha = min(0.999, opac * exp(-sigma)); skipped if sigma < 0 or alpha < 1/255.
+- a Gaussian is composited iff the running transmittance *after* it stays
+  > 1e-4; the first one that would cross terminates the pixel (exactly the
+  CUDA early-exit, expressed as a monotone mask on the cumulative product).
+- background is blended with the terminal transmittance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiangrasper_tpu.ops.projection import ProjectedGaussians, project_gaussians
+
+ALPHA_CLAMP = 0.999
+ALPHA_CUTOFF = 1.0 / 255.0
+TRANSMITTANCE_EPS = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    tile_size: int = 16
+    """Pixel tile edge. 16x16 = 256 px = 2 TPU lanes-rows; perf knob only —
+    results are identical for any tile size >= inclusion granularity."""
+    max_gaussians_per_tile: int = 1024
+    """Per-tile capacity K. Overflow keeps the K nearest (front-most)."""
+    max_tiles_per_gaussian: int = 0
+    """Cap on tiles one Gaussian may cover; 0 = the whole tile grid (exact).
+    When capped, oversized rectangles are truncated row-major."""
+    tile_chunk: int = 64
+    """Tiles composited per scan step (memory/parallelism trade-off)."""
+    backend: str = "xla"
+    """'xla' (pure lax, runs everywhere) or 'pallas' (TPU kernel)."""
+
+
+class TileBins(NamedTuple):
+    tile_gidx: jax.Array    # (T, K) int32 indices into the N arrays; -1 pad
+    tile_count: jax.Array   # (T,) int32 number of valid entries (pre-clamp)
+    num_tiles_hit: jax.Array  # (N,) int32 tiles covered per Gaussian
+    overflow: jax.Array     # () int32 total entries dropped by K clamp
+
+
+def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+    return tw, th
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    config: RasterizeConfig,
+) -> TileBins:
+    """Build fixed-capacity, depth-ordered per-tile Gaussian index lists."""
+    ts = config.tile_size
+    tw, th = tile_grid(width, height, ts)
+    T = tw * th
+    n = proj.xys.shape[0]
+    K = min(config.max_gaussians_per_tile, n)
+    MT = T if config.max_tiles_per_gaussian <= 0 else min(config.max_tiles_per_gaussian, T)
+
+    xys = jax.lax.stop_gradient(proj.xys)
+    radii = jax.lax.stop_gradient(proj.radii)
+    depths = jax.lax.stop_gradient(proj.depths)
+    alive = radii > 0.0
+
+    # Global front-to-back order (culled Gaussians sort to the end).
+    sort_keys = jnp.where(alive, depths, jnp.inf)
+    order = jnp.argsort(sort_keys).astype(jnp.int32)  # (N,)
+
+    x = xys[order, 0]
+    y = xys[order, 1]
+    r = radii[order]
+    alive_s = alive[order]
+
+    # Covered tile rectangle (same clamp arithmetic as the CUDA bbox helper).
+    x0 = jnp.clip(jnp.floor((x - r) / ts), 0, tw).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - r) / ts), 0, th).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + r) / ts) + 1, 0, tw).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + r) / ts) + 1, 0, th).astype(jnp.int32)
+    w_span = jnp.maximum(x1 - x0, 0)
+    h_span = jnp.maximum(y1 - y0, 0)
+    span = jnp.where(alive_s, w_span * h_span, 0)
+    count = jnp.minimum(span, MT)
+
+    # Enumerate pairs (sorted-gaussian, covered-tile) with a static cap MT.
+    j = jnp.arange(MT, dtype=jnp.int32)  # (MT,)
+    w_safe = jnp.maximum(w_span, 1)[:, None]
+    dx = j[None, :] % w_safe
+    dy = j[None, :] // w_safe
+    tid = (y0[:, None] + dy) * tw + (x0[:, None] + dx)  # (N, MT)
+    pair_valid = j[None, :] < count[:, None]
+    tid = jnp.where(pair_valid, tid, T)  # sentinel bin
+
+    # Stable single-key sort by tile id keeps depth order within each tile.
+    payload = jnp.broadcast_to(order[:, None], (n, MT)).reshape(-1)
+    keys = tid.reshape(-1)
+    sorted_keys, sorted_payload = jax.lax.sort(
+        (keys, payload), num_keys=1, is_stable=True
+    )
+
+    # Per-tile segment boundaries.
+    boundaries = jnp.searchsorted(sorted_keys, jnp.arange(T + 1, dtype=jnp.int32))
+    starts = boundaries[:-1]
+    tile_count = (boundaries[1:] - starts).astype(jnp.int32)
+
+    # Slice out the first K (front-most) entries of each tile segment.
+    pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
+    in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
+    pos = jnp.clip(pos, 0, sorted_payload.shape[0] - 1)
+    tile_gidx = jnp.where(in_seg, sorted_payload[pos], -1)
+
+    overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
+    # Report the number of binned tiles per Gaussian (post-MT-cap), in the
+    # original (unsorted) index order.
+    num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(count.astype(jnp.int32))
+    return TileBins(
+        tile_gidx=tile_gidx,
+        tile_count=tile_count,
+        num_tiles_hit=num_tiles_hit,
+        overflow=overflow,
+    )
+
+
+def composite_weights(
+    alpha: jax.Array, axis: int = -2
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form front-to-back blending weights.
+
+    Given per-(gaussian, pixel) alphas ordered front-to-back along `axis`,
+    returns (weights, terminal_transmittance) replicating the sequential
+    CUDA loop: w_k = alpha_k * prod_{j<k}(1-alpha_j), with compositing cut
+    once transmittance would drop to <= 1e-4.
+    """
+    log_t = jnp.log1p(-alpha)  # log(1 - alpha); alpha <= 0.999 keeps it finite
+    cum_incl = jnp.cumsum(log_t, axis=axis)
+    t_next = jnp.exp(cum_incl)
+    composite = t_next > TRANSMITTANCE_EPS  # monotone prefix mask
+    t_before = jnp.exp(cum_incl - log_t)
+    weights = jnp.where(composite, alpha * t_before, 0.0)
+    t_final = jnp.exp(jnp.sum(jnp.where(composite, log_t, 0.0), axis=axis))
+    return weights, t_final
+
+
+def _tile_alpha(
+    px: jax.Array,   # (TC, P)
+    py: jax.Array,   # (TC, P)
+    xy: jax.Array,   # (TC, K, 2)
+    conic: jax.Array,  # (TC, K, 3)
+    opac: jax.Array,   # (TC, K)
+    valid: jax.Array,  # (TC, K) bool
+) -> jax.Array:
+    """Per-(tile, gaussian, pixel) alpha with the CUDA validity predicate."""
+    dx = px[:, None, :] - xy[:, :, 0:1]  # (TC, K, P)
+    dy = py[:, None, :] - xy[:, :, 1:2]
+    sigma = (
+        0.5 * (conic[:, :, 0:1] * dx * dx + conic[:, :, 2:3] * dy * dy)
+        + conic[:, :, 1:2] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_CLAMP, opac[:, :, None] * jnp.exp(-sigma))
+    ok = valid[:, :, None] & (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF)
+    return jnp.where(ok, alpha, 0.0)
+
+
+def _composite_chunk(
+    tile_ids: jax.Array,   # (TC,)
+    tile_gidx: jax.Array,  # (TC, K)
+    xys: jax.Array,        # (N, 2)
+    conics: jax.Array,     # (N, 3)
+    opacities: jax.Array,  # (N,)
+    colors: jax.Array,     # (N, C)
+    background: jax.Array,  # (C,)
+    tw: int,
+    ts: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Composite one chunk of tiles. Returns (out (TC, P, C), alpha (TC, P))."""
+    TC, K = tile_gidx.shape
+    P = ts * ts
+    valid = tile_gidx >= 0
+    g = jnp.maximum(tile_gidx, 0)
+
+    xy = xys[g]          # (TC, K, 2)
+    conic = conics[g]    # (TC, K, 3)
+    opac = jnp.where(valid, opacities[g], 0.0)
+    col = colors[g]      # (TC, K, C)
+
+    # Pixel-center coordinates of this tile chunk (integer-centered).
+    tx = (tile_ids % tw) * ts
+    ty = (tile_ids // tw) * ts
+    lin = jnp.arange(P, dtype=jnp.int32)
+    px = (tx[:, None] + (lin % ts)[None, :]).astype(xys.dtype)  # (TC, P)
+    py = (ty[:, None] + (lin // ts)[None, :]).astype(xys.dtype)
+
+    alpha = _tile_alpha(px, py, xy, conic, opac, valid)  # (TC, K, P)
+    weights, t_final = composite_weights(alpha, axis=-2)  # (TC, K, P), (TC, P)
+
+    # MXU: (TC, P, K) @ (TC, K, C) -> (TC, P, C)
+    out = jnp.einsum(
+        "tkp,tkc->tpc", weights, col, preferred_element_type=jnp.float32
+    )
+    out = out + t_final[..., None] * background[None, None, :]
+    return out, 1.0 - t_final
+
+
+def rasterize_projected(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    background: jax.Array,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+    bins: Optional[TileBins] = None,
+):
+    """Rasterize already-projected Gaussians.
+
+    Args:
+      proj: output of `project_gaussians` (xys may carry a gradient probe).
+      colors: (N, C) per-Gaussian channel values (RGB+feature+depth+normal
+              concatenated by the model; any C works).
+      opacities: (N,) post-sigmoid opacities.
+      background: (C,) blended with terminal transmittance.
+
+    Returns dict with image (H, W, C), alpha (H, W), and binning stats.
+    """
+    ts = config.tile_size
+    tw, th = tile_grid(width, height, ts)
+    T = tw * th
+    P = ts * ts
+    C = colors.shape[-1]
+
+    if bins is None:
+        bins = bin_gaussians(proj, width, height, config)
+
+    TC = max(1, min(config.tile_chunk, T))
+    n_chunks = -(-T // TC)
+    T_pad = n_chunks * TC
+    tile_ids = jnp.arange(T_pad, dtype=jnp.int32).reshape(n_chunks, TC)
+    gidx_pad = jnp.pad(
+        bins.tile_gidx, ((0, T_pad - T), (0, 0)), constant_values=-1
+    ).reshape(n_chunks, TC, -1)
+
+    if config.backend == "pallas":
+        from gaussiangrasper_tpu.ops import rasterize_pallas
+
+        out, alpha_im = rasterize_pallas.composite_all(
+            tile_ids.reshape(-1), gidx_pad.reshape(T_pad, -1),
+            proj.xys, proj.conics, opacities, colors, background, tw, ts,
+        )
+        out = out.reshape(n_chunks, TC, P, C)
+        alpha_im = alpha_im.reshape(n_chunks, TC, P)
+    else:
+        @jax.checkpoint
+        def chunk_fn(args):
+            ids, gidx = args
+            return _composite_chunk(
+                ids, gidx, proj.xys, proj.conics, opacities, colors,
+                background, tw, ts,
+            )
+
+        out, alpha_im = jax.lax.map(chunk_fn, (tile_ids, gidx_pad))
+
+    # (n_chunks, TC, P, C) -> crop tile padding -> (th, tw, ts, ts, C) -> (H, W, C)
+    out = out.reshape(T_pad, P, C)[:T]
+    out = out.reshape(th, tw, ts, ts, C).transpose(0, 2, 1, 3, 4)
+    image = out.reshape(th * ts, tw * ts, C)[:height, :width]
+    alpha_im = alpha_im.reshape(T_pad, P)[:T]
+    alpha_im = alpha_im.reshape(th, tw, ts, ts).transpose(0, 2, 1, 3)
+    alpha_image = alpha_im.reshape(th * ts, tw * ts)[:height, :width]
+
+    return {
+        "image": image,
+        "alpha": alpha_image,
+        "bins": bins,
+    }
+
+
+def rasterize(
+    means: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmat: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    width: int,
+    height: int,
+    background: Optional[jax.Array] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+    mask: Optional[jax.Array] = None,
+):
+    """Project + bin + composite in one call (the simple API)."""
+    proj = project_gaussians(
+        means, scales, quats, viewmat, fx, fy, cx, cy, width, height, mask=mask
+    )
+    if background is None:
+        background = jnp.zeros((colors.shape[-1],), colors.dtype)
+    out = rasterize_projected(
+        proj, colors, opacities, background, width, height, config
+    )
+    out["proj"] = proj
+    return out
