@@ -56,9 +56,12 @@ class RasterizeConfig:
     results are identical for any tile size >= inclusion granularity."""
     max_gaussians_per_tile: int = 1024
     """Per-tile capacity K. Overflow keeps the K nearest (front-most)."""
-    max_tiles_per_gaussian: int = 0
-    """Cap on tiles one Gaussian may cover; 0 = the whole tile grid (exact).
-    When capped, oversized rectangles are truncated row-major."""
+    max_tiles_per_gaussian: int = 64
+    """Cap on tiles one Gaussian may cover; 0 = the whole tile grid (exact
+    but allocates an (N, num_tiles) pair matrix — only viable for small
+    scenes). 64 covers a 128x128 px splat at tile_size 16; the cull
+    thresholds (cull_screen_size 0.15) keep real splats under that.
+    Oversized rectangles are truncated row-major."""
     tile_chunk: int = 64
     """Tiles composited per scan step (memory/parallelism trade-off)."""
     backend: str = "xla"
