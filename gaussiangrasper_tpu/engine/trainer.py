@@ -1,0 +1,210 @@
+"""Host training loop.
+
+Role of the reference Trainer (/root/reference/nerfstudio/engine/
+trainer.py:139-498): setup (data, model init from seeds, optimizers),
+the 30k-step loop with BEFORE/AFTER callbacks, refinement every 100 steps,
+checkpoint every 2000, metric logging, and the coarse-to-fine resolution
+schedule (gaussian_splatting.py:599-603). All device work is two jitted
+functions (train_step / refine_step); everything here is orchestration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiangrasper_tpu.core.cameras import Camera
+from gaussiangrasper_tpu.data.manager import FullImageDatamanager, SamplerConfig
+from gaussiangrasper_tpu.engine import checkpoint as ckpt
+from gaussiangrasper_tpu.engine.train_state import (
+    TrainState,
+    init_train_state,
+    refine_step,
+    train_step,
+)
+from gaussiangrasper_tpu.models.efd import init_mlp
+from gaussiangrasper_tpu.models.gaussian_field import init_from_seeds, init_random
+from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+from gaussiangrasper_tpu.utils.writer import MetricsWriter
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirrors the reference gaussian-splatting TrainerConfig surface
+    (method_configs.py:603-668) minus torch-isms."""
+
+    data: Path = Path("data")
+    output_dir: Path = Path("outputs")
+    experiment_name: str = "gaussian-splatting"
+    max_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_log: int = 10
+    steps_per_eval_image: int = 100
+    seed: int = 42
+    capacity_multiplier: float = 8.0
+    """Field capacity = multiplier x seed count (densification headroom)."""
+    capacity: Optional[int] = None
+    random_init_points: int = 50000
+    tensorboard: bool = False
+    load_dir: Optional[Path] = None
+    model: GaussianSplatConfig = dataclasses.field(default_factory=GaussianSplatConfig)
+
+    @property
+    def run_dir(self) -> Path:
+        return Path(self.output_dir) / self.experiment_name
+
+    @property
+    def ckpt_dir(self) -> Path:
+        return self.run_dir / "checkpoints"
+
+
+def _downscale_factor(cfg: GaussianSplatConfig, step: int) -> int:
+    """2^max(num_downscales - step // resolution_schedule, 0) (ref :599-603)."""
+    return 2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0)
+
+
+def downscale_batch(batch: Dict, cam: Camera, d: int) -> Tuple[Camera, Dict]:
+    """Host-side coarse-to-fine: shrink images by 2^k and rescale the
+    sampled pixel indices into the shrunken frame."""
+    if d == 1:
+        return cam, batch
+    import cv2
+
+    def shrink(a, interp=cv2.INTER_AREA):
+        a = np.asarray(a)
+        out = cv2.resize(
+            a.astype(np.float32), (a.shape[1] // d, a.shape[0] // d),
+            interpolation=interp,
+        )
+        return out
+
+    h2, w2 = np.asarray(batch["image"]).shape[0] // d, np.asarray(batch["image"]).shape[1] // d
+    out = dict(batch)
+    out["image"] = jnp.asarray(shrink(batch["image"]))
+    out["depth"] = jnp.asarray(shrink(batch["depth"]))
+    out["normal"] = jnp.asarray(shrink(batch["normal"]))
+    out["valid_mask"] = jnp.asarray(
+        shrink(np.asarray(batch["valid_mask"]).astype(np.float32)) > 0.5
+    )
+    for k in ("pair_a", "pair_b", "points"):
+        out[k] = jnp.minimum(
+            jnp.asarray(batch[k]) // d,
+            jnp.array([h2 - 1, w2 - 1], jnp.int32),
+        )
+    return cam.rescale(1.0 / d), out
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, datamanager: FullImageDatamanager):
+        self.config = config
+        self.dm = datamanager
+        self.writer: Optional[MetricsWriter] = None
+        self.state: Optional[TrainState] = None
+
+    def setup(self) -> TrainState:
+        cfg = self.config
+        mcfg = cfg.model
+        key = jax.random.PRNGKey(cfg.seed)
+        k_field, k_mlp, k_state = jax.random.split(key, 3)
+
+        seeds = self.dm.seed_points
+        if seeds is not None:
+            xyz, rgb = seeds
+            cap = cfg.capacity or int(len(xyz) * cfg.capacity_multiplier)
+            field, alive = init_from_seeds(
+                k_field, xyz, rgb,
+                feature_dim=mcfg.feature_dim, sh_degree=mcfg.sh_degree,
+                capacity=cap,
+            )
+        else:
+            n = cfg.random_init_points
+            cap = cfg.capacity or int(n * cfg.capacity_multiplier)
+            field, alive = init_random(
+                k_field, n, feature_dim=mcfg.feature_dim,
+                sh_degree=mcfg.sh_degree, capacity=cap,
+            )
+        fea_up = init_mlp(k_mlp, mcfg.feature_dim, mcfg.clip_dim, (128,))
+        state = init_train_state(k_state, field, alive, fea_up)
+
+        if cfg.load_dir is not None:
+            path = ckpt.latest_checkpoint(cfg.load_dir)
+            if path is not None:
+                state = ckpt.load_checkpoint(path, state)
+                print(f"resumed from {path} at step {int(state.step)}")
+
+        self.writer = MetricsWriter(
+            log_dir=cfg.run_dir / "tb", tensorboard=cfg.tensorboard,
+            steps_per_log=cfg.steps_per_log, max_steps=cfg.max_iterations,
+        )
+        self.state = state
+        self.save_config()
+        return state
+
+    def save_config(self) -> None:
+        cfg = self.config
+        cfg.run_dir.mkdir(parents=True, exist_ok=True)
+        payload = dataclasses.asdict(cfg)
+        payload = jax.tree.map(
+            lambda v: str(v) if isinstance(v, Path) else v, payload,
+            is_leaf=lambda v: isinstance(v, Path),
+        )
+        (cfg.run_dir / "config.json").write_text(json.dumps(payload, indent=2))
+
+    def train(self) -> TrainState:
+        cfg = self.config
+        mcfg = cfg.model
+        state = self.state if self.state is not None else self.setup()
+        num_train = len(self.dm)
+
+        start = int(state.step)
+        t0 = time.perf_counter()
+        for step in range(start, cfg.max_iterations):
+            _, cam, batch = self.dm.next_train()
+            d = _downscale_factor(mcfg, step)
+            cam_s, batch_s = downscale_batch(batch, cam, d)
+            state, metrics = train_step(state, cam_s, batch_s, mcfg)
+
+            if (step + 1) % mcfg.refine_every == 0:
+                state = refine_step(
+                    state, mcfg, cam_s.width, cam_s.height, num_train
+                )
+
+            if self.writer is not None:
+                self.writer.step(
+                    step,
+                    {k: metrics[k] for k in ("loss", "psnr", "gaussian_count")},
+                    pixels=cam_s.width * cam_s.height,
+                )
+            if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
+                path = ckpt.save_checkpoint(cfg.ckpt_dir, state)
+                print(f"saved {path}")
+        dt = time.perf_counter() - t0
+        steps_done = cfg.max_iterations - start
+        if steps_done:
+            print(f"trained {steps_done} steps in {dt:.1f}s ({steps_done / dt:.2f} it/s)")
+        self.state = state
+        return state
+
+
+def make_trainer(config: TrainerConfig) -> Trainer:
+    """Build datamanager (auto-detecting the parser) + trainer."""
+    data = Path(config.data)
+    if (data / "transforms.json").exists() or list(data.glob("transforms_*.json")):
+        from gaussiangrasper_tpu.data.dataparsers.transforms_json import (
+            TransformsJsonParser,
+        )
+
+        outputs = TransformsJsonParser(data).parse()
+    else:
+        from gaussiangrasper_tpu.data.dataparsers.colmap import ColmapDataParser
+
+        outputs = ColmapDataParser(data).parse()
+    dm = FullImageDatamanager(outputs, SamplerConfig(), seed=config.seed)
+    return Trainer(config, dm)

@@ -1,0 +1,109 @@
+"""Offline render-out of rgb / CLIP-feature / normal / depth maps.
+
+Role of the reference's eval.py + the repurposed
+get_average_eval_image_metrics (/root/reference/nerfstudio/pipelines/
+base_pipeline.py:370-426 via render.sh): for up to --num-views train
+views, write
+  rgb/<i>.png
+  clip/<i>_fea.npy    — fea_up-lifted 512-d CLIP map
+  normal/<i>.npy/.png — rotated back to the capture frame by the inverse
+                        dataparser transform (ref :410-411)
+  depth/<i>.npy/.png  — metric (divided by dataparser scale), JET colormap
+plus a metrics json (psnr/ssim/depth/normal per view).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiangrasper_tpu.models import losses
+from gaussiangrasper_tpu.models.efd import mlp_apply
+from gaussiangrasper_tpu.models.model import render as render_fn
+from gaussiangrasper_tpu.scripts.common import load_run
+
+
+def depth2color(depth: np.ndarray) -> np.ndarray:
+    """JET colormap on normalized depth (ref base_pipeline.py:58-64)."""
+    import cv2
+
+    d = depth - depth.min()
+    d = d / (d.max() + 1e-8)
+    return cv2.applyColorMap((d * 255).astype(np.uint8), cv2.COLORMAP_JET)[..., ::-1]
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Render eval maps from a trained run")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None)
+    p.add_argument("--num-views", type=int, default=16)
+    p.add_argument("--step", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    config, trainer, state = load_run(args.run_dir, step=args.step)
+    out_dir = args.output or (args.run_dir / "renders")
+    for sub in ("rgb", "clip", "normal", "depth"):
+        (out_dir / sub).mkdir(parents=True, exist_ok=True)
+
+    dm = trainer.dm
+    scale = dm.outputs.dataparser_scale
+    inv_rot = np.linalg.inv(dm.outputs.dataparser_transform[:3, :3])
+
+    render_jit = jax.jit(
+        lambda f, a, c: render_fn(f, a, c, state.step, config.model),
+    )
+    results = []
+    n = min(args.num_views, len(dm))
+    for i in range(n):
+        cam, batch = dm.get_batch(i)
+        outs = render_jit(state.field, state.alive, cam)
+        rgb = np.asarray(jnp.clip(outs["rgb"], 0, 1))
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(out_dir / "rgb" / f"{i:05d}.png")
+
+        # fea_up lift to CLIP space (ref :408)
+        fea = outs["feature"]
+        clip_map = mlp_apply(state.fea_up, fea.reshape(-1, fea.shape[-1]))
+        clip_map = np.asarray(clip_map).reshape(fea.shape[0], fea.shape[1], -1)
+        np.save(out_dir / "clip" / f"{i:05d}_fea.npy", clip_map.astype(np.float16))
+
+        normal = np.asarray(outs["normal"]) @ inv_rot.T  # back to capture frame
+        np.save(out_dir / "normal" / f"{i:05d}.npy", normal)
+        Image.fromarray(((normal * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)).save(
+            out_dir / "normal" / f"{i:05d}.png"
+        )
+
+        depth = np.asarray(outs["depth"][..., 0]) / scale  # metric (ref :405)
+        np.save(out_dir / "depth" / f"{i:05d}.npy", depth)
+        Image.fromarray(depth2color(depth)).save(out_dir / "depth" / f"{i:05d}.png")
+
+        gt = np.asarray(batch["image"])
+        results.append(
+            {
+                "view": i,
+                "psnr": float(losses.psnr(jnp.asarray(rgb), jnp.asarray(gt))),
+                "ssim": float(losses.ssim(jnp.asarray(rgb), jnp.asarray(gt))),
+            }
+        )
+        print(f"view {i}: psnr={results[-1]['psnr']:.2f}")
+
+    summary = {
+        "experiment_name": config.experiment_name,
+        "results": {
+            "psnr": float(np.mean([r["psnr"] for r in results])),
+            "ssim": float(np.mean([r["ssim"] for r in results])),
+            "per_view": results,
+        },
+    }
+    (out_dir / "metrics.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary["results"] | {"per_view": "..."}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

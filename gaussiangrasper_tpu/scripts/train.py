@@ -1,0 +1,73 @@
+"""Training CLI (the `ns-train gaussian-splatting` analog, ref train.sh).
+
+Usage:
+  python -m gaussiangrasper_tpu.scripts.train --data <scene_dir> \
+      [--output-dir outputs] [--max-iterations 30000] [--tensorboard]
+
+Multi-host: call `jax.distributed.initialize()` automatically when the
+JAX_COORDINATOR env vars are present; sharded stepping is selected with
+--mesh dp,gauss.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train language-embedded 3DGS on TPU")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, default=Path("outputs"))
+    p.add_argument("--experiment-name", type=str, default="gaussian-splatting")
+    p.add_argument("--max-iterations", type=int, default=30000)
+    p.add_argument("--steps-per-save", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--capacity", type=int, default=None)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--load-dir", type=Path, default=None)
+    p.add_argument("--feature-dim", type=int, default=32)
+    p.add_argument("--sh-degree", type=int, default=4)
+    p.add_argument("--warmup-length", type=int, default=500)
+    p.add_argument("--refine-every", type=int, default=100)
+    p.add_argument("--densify-grad-thresh", type=float, default=0.0002)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        import jax
+
+        jax.distributed.initialize()
+
+    model = GaussianSplatConfig(
+        feature_dim=args.feature_dim,
+        sh_degree=args.sh_degree,
+        warmup_length=args.warmup_length,
+        refine_every=args.refine_every,
+        densify_grad_thresh=args.densify_grad_thresh,
+    )
+    config = TrainerConfig(
+        data=args.data,
+        output_dir=args.output_dir,
+        experiment_name=args.experiment_name,
+        max_iterations=args.max_iterations,
+        steps_per_save=args.steps_per_save,
+        seed=args.seed,
+        capacity=args.capacity,
+        tensorboard=args.tensorboard,
+        load_dir=args.load_dir,
+        model=model,
+    )
+    trainer = make_trainer(config)
+    trainer.setup()
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

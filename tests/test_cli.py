@@ -1,0 +1,145 @@
+"""End-to-end CLI pipeline on a synthetic RGB-D capture (the analog of the
+reference's 2-iteration train smoke, /root/reference/tests/test_train.py,
+but covering the full tool chain: generate_data -> train -> render ->
+export -> update)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+W, H = 32, 24
+FX = FY = 30.0
+
+
+@pytest.fixture(scope="module")
+def capture_dir(tmp_path_factory):
+    """3-frame synthetic RGB-D capture of a textured plane at z=1.5."""
+    cap = tmp_path_factory.mktemp("capture")
+    for d in ("color", "depth", "poses"):
+        (cap / d).mkdir()
+    (cap / "intrinsics.json").write_text(
+        json.dumps({"fx": FX, "fy": FY, "cx": W / 2, "cy": H / 2,
+                    "width": W, "height": H})
+    )
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(base).save(cap / "color" / f"{i:03d}.png")
+        np.save(cap / "depth" / f"{i:03d}.npy",
+                np.full((H, W), 1.5, np.float32))
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i  # small x translation
+        np.save(cap / "poses" / f"{i:03d}.npy", pose)
+    return cap
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(capture_dir, tmp_path_factory):
+    from gaussiangrasper_tpu.scripts import generate_data
+
+    out = tmp_path_factory.mktemp("dataset")
+    generate_data.main([
+        "--capture", str(capture_dir), "--output", str(out),
+        "--subsample", "4", "--depth-max", "5.0",
+    ])
+    return out
+
+
+@pytest.fixture(scope="module")
+def run_dir(dataset_dir, tmp_path_factory):
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path_factory.mktemp("outputs")
+    train.main([
+        "--data", str(dataset_dir), "--output-dir", str(out),
+        "--experiment-name", "smoke", "--max-iterations", "6",
+        "--steps-per-save", "6", "--feature-dim", "8", "--sh-degree", "1",
+        "--warmup-length", "2", "--refine-every", "3",
+    ])
+    return out / "smoke"
+
+
+def test_generate_data_layout(dataset_dir):
+    assert (dataset_dir / "transforms.json").exists()
+    assert (dataset_dir / "sparse" / "0" / "points3D.txt").exists()
+    assert len(list((dataset_dir / "images").iterdir())) == 3
+    # unprojection sanity: plane at depth 1.5 along +z from origin-ish poses
+    from gaussiangrasper_tpu.data import colmap_io as cio
+
+    xyz, rgb, _ = cio.read_points3d_text(dataset_dir / "sparse/0/points3D.txt")
+    assert len(xyz) > 100
+    np.testing.assert_allclose(xyz[:, 2], 1.5, atol=1e-5)
+
+
+def test_generated_normals_face_camera(dataset_dir):
+    n = np.load(sorted((dataset_dir / "normals").iterdir())[0])
+    # plane normal must be -z (towards an OpenCV camera looking down +z)
+    inner = n[2:-2, 2:-2]
+    np.testing.assert_allclose(inner[..., 2], -1.0, atol=1e-4)
+
+
+def test_train_produces_checkpoint_and_config(run_dir):
+    assert (run_dir / "config.json").exists()
+    ckpts = list((run_dir / "checkpoints").iterdir())
+    assert len(ckpts) == 1
+    assert ckpts[0].name == "step_000000006"
+
+
+def test_render_outputs(run_dir):
+    from gaussiangrasper_tpu.scripts import render
+
+    render.main(["--run-dir", str(run_dir), "--num-views", "2"])
+    out = run_dir / "renders"
+    assert (out / "rgb" / "00000.png").exists()
+    assert (out / "clip" / "00000_fea.npy").exists()
+    assert (out / "normal" / "00001.npy").exists()
+    assert (out / "depth" / "00001.png").exists()
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert np.isfinite(metrics["results"]["psnr"])
+    clip = np.load(out / "clip" / "00000_fea.npy")
+    assert clip.shape[-1] == 512
+
+
+def test_export_ply_round_trip(run_dir):
+    from gaussiangrasper_tpu.scripts import export_ply
+
+    out = run_dir / "export.ply"
+    export_ply.main(["--run-dir", str(run_dir), "--output", str(out)])
+    back = export_ply.read_gaussian_ply(out)
+    from gaussiangrasper_tpu.scripts.common import load_run
+
+    _, _, state = load_run(run_dir)
+    alive = np.asarray(state.alive)
+    np.testing.assert_allclose(back["means"], np.asarray(state.field.means)[alive],
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        back["sh_coeffs"], np.asarray(state.field.sh_coeffs)[alive], atol=1e-6
+    )
+
+
+def test_update_scene(run_dir, dataset_dir, tmp_path):
+    from gaussiangrasper_tpu.scripts import update
+    from gaussiangrasper_tpu.scripts.common import load_run
+
+    _, _, state0 = load_run(run_dir)
+    # edit object: a box around part of the scene, in capture frame
+    obj = np.array([[x, y, z]
+                    for x in (-0.6, 0.6) for y in (-0.6, 0.6) for z in (1.0, 2.0)])
+    obj_path = tmp_path / "obj.npy"
+    np.save(obj_path, obj)
+    move = np.eye(4)
+    move[0, 3] = 0.3  # slide 30cm in capture x
+    move_path = tmp_path / "move.npy"
+    np.save(move_path, move)
+
+    update.main([
+        "--run-dir", str(run_dir), "--edit-object", str(obj_path),
+        "--transform-npy", str(move_path), "--after-data", str(dataset_dir),
+        "--max-iterations", "2",
+    ])
+    edit_ckpts = sorted((run_dir / "edit" / "checkpoints").iterdir())
+    assert any("step_000000000" in p.name for p in edit_ckpts) or len(edit_ckpts) >= 1
