@@ -170,10 +170,29 @@ class FullImageDatamanager:
         data = self._load(idx)
         h, w = data["image"].shape[:2]
         sam = data["sam_mask"]
-        pair_a, pair_b, pair_valid, group_valid = self._sample_mask_pairs(sam)
-        points, point_valid, gt_clip = self._sample_points(
-            sam, data.get("clip_features"), h, w
+        s = self.sampler
+        clip = data.get("clip_features")
+
+        # native single-pass sampler (C++ via ctypes); numpy fallback below
+        from gaussiangrasper_tpu import native
+
+        fast = native.sample_mask_batch(
+            sam, s.max_groups, s.pairs_per_group, s.num_points,
+            seed=int(self.rng.integers(1, 2**63)),
         )
+        if fast is not None:
+            pair_a, pair_b, pair_valid, group_valid, points, point_valid = fast
+            gt_clip = np.zeros((s.num_points, s.clip_dim), np.float32)
+            if clip is not None and point_valid.any():
+                fh, fw = clip.shape[:2]
+                fy = (points[:, 0] * fh) // max(h, 1)
+                fx = (points[:, 1] * fw) // max(w, 1)
+                gt_clip[point_valid] = clip[fy[point_valid], fx[point_valid]]
+            else:
+                point_valid = np.zeros_like(point_valid)
+        else:
+            pair_a, pair_b, pair_valid, group_valid = self._sample_mask_pairs(sam)
+            points, point_valid, gt_clip = self._sample_points(sam, clip, h, w)
         batch = {
             "image": jnp.asarray(data["image"]),
             "depth": jnp.asarray(data["depth"]),

@@ -69,6 +69,48 @@ def lr_at(cfg: GroupConfig, step) -> jax.Array:
     )
 
 
+# --- the reference's other scheduler family (engine/schedulers.py), for
+# API parity with non-GS configs ---
+
+def exponential_decay_lr(
+    step, lr_init: float, lr_final: float, max_steps: int,
+    warmup_steps: int = 0, lr_pre_warmup: float = 1e-8, ramp: str = "cosine",
+) -> jax.Array:
+    """ExponentialDecayScheduler incl. pre-warmup ramp (schedulers.py:109-155)."""
+    step = jnp.asarray(step, jnp.float32)
+    if warmup_steps > 0:
+        frac = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        if ramp == "cosine":
+            warm = lr_pre_warmup + (lr_init - lr_pre_warmup) * jnp.sin(
+                0.5 * jnp.pi * frac
+            )
+        else:
+            warm = lr_pre_warmup + (lr_init - lr_pre_warmup) * frac
+    else:
+        warm = jnp.asarray(lr_init, jnp.float32)
+    t = jnp.clip((step - warmup_steps) / max(max_steps - warmup_steps, 1), 0.0, 1.0)
+    decayed = jnp.exp((1.0 - t) * jnp.log(lr_init) + t * jnp.log(lr_final))
+    return jnp.where(step < warmup_steps, warm, decayed)
+
+
+def multistep_lr(step, lr_init: float, milestones=(500_000, 750_000, 900_000),
+                 gamma: float = 0.33) -> jax.Array:
+    """MultiStepScheduler (schedulers.py:77-106)."""
+    step = jnp.asarray(step)
+    n = sum((step >= m).astype(jnp.int32) for m in [jnp.asarray(m) for m in milestones])
+    return lr_init * gamma ** n.astype(jnp.float32)
+
+
+def cosine_decay_lr(step, lr_init: float, max_steps: int,
+                    warmup_steps: int = 0, lr_final: float = 0.0) -> jax.Array:
+    """CosineDecayScheduler with linear warmup (schedulers.py:158-194)."""
+    step = jnp.asarray(step, jnp.float32)
+    warm = lr_init * step / max(warmup_steps, 1)
+    t = jnp.clip((step - warmup_steps) / max(max_steps - warmup_steps, 1), 0.0, 1.0)
+    cos = lr_final + 0.5 * (lr_init - lr_final) * (1.0 + jnp.cos(jnp.pi * t))
+    return jnp.where(step < warmup_steps, warm, cos)
+
+
 class GroupOptState(NamedTuple):
     adam: optax.ScaleByAdamState
     accum: Any  # accumulated gradients pytree (same structure as params)

@@ -64,8 +64,16 @@ class RasterizeConfig:
     Oversized rectangles are truncated row-major."""
     tile_chunk: int = 64
     """Tiles composited per scan step (memory/parallelism trade-off)."""
-    backend: str = "xla"
-    """'xla' (pure lax, runs everywhere) or 'pallas' (TPU kernel)."""
+    backend: str = "auto"
+    """'pallas' (TPU kernel; interpreted elsewhere), 'xla' (pure lax, runs
+    everywhere), or 'auto' (pallas on TPU, xla otherwise)."""
+
+    def resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class TileBins(NamedTuple):
@@ -276,13 +284,24 @@ def rasterize_projected(
         bins.tile_gidx, ((0, T_pad - T), (0, 0)), constant_values=-1
     ).reshape(n_chunks, TC, -1)
 
-    if config.backend == "pallas":
+    if config.resolved_backend() == "pallas":
         from gaussiangrasper_tpu.ops import rasterize_pallas
 
-        out, alpha_im = rasterize_pallas.composite_all(
-            tile_ids.reshape(-1), gidx_pad.reshape(T_pad, -1),
-            proj.xys, proj.conics, opacities, colors, background, tw, ts,
+        # Gather per-tile attribute tables (autodiff of these gathers is the
+        # per-Gaussian scatter-add of the kernel's per-(tile, k) grads).
+        gidx = bins.tile_gidx
+        valid = gidx >= 0
+        g = jnp.maximum(gidx, 0)
+        tile_xy = proj.xys[g]
+        tile_con = proj.conics[g]
+        tile_opac = jnp.where(valid, opacities[g], 0.0)
+        tile_col = jnp.where(valid[..., None], colors[g], 0.0)
+        counts = jnp.minimum(bins.tile_count, gidx.shape[1])
+        out, alpha_im = rasterize_pallas.composite_tiles(
+            counts, tile_xy, tile_con, tile_opac, tile_col, background, tw, ts
         )
+        out = jnp.pad(out, ((0, T_pad - T), (0, 0), (0, 0)))
+        alpha_im = jnp.pad(alpha_im, ((0, T_pad - T), (0, 0)))
         out = out.reshape(n_chunks, TC, P, C)
         alpha_im = alpha_im.reshape(n_chunks, TC, P)
     else:

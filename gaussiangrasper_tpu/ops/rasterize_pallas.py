@@ -1,0 +1,373 @@
+"""Pallas TPU kernels for per-tile front-to-back compositing.
+
+The XLA compositing path (ops/rasterize.py:_composite_chunk) materializes
+(tiles, K, pixels) intermediates in HBM — correct, but HBM-bandwidth-bound
+and it always pays for the full K capacity. These kernels keep every
+intermediate in VMEM and walk only each tile's ACTUAL Gaussian count
+(prefetched scalar; the transmittance cut masks the rest) — the same
+work-proportionality the reference's CUDA kernel
+gets from its per-tile loop (gsplat's RasterizeGaussians, call sites
+/root/reference/nerfstudio/models/gaussian_splatting.py:735-784).
+
+Layout contract (built by the caller from the binning stage):
+  counts    (T,)      int32  valid entries per tile
+  tile_xy   (T, K, 2) f32    gathered screen centers, front-to-back
+  tile_con  (T, K, 3) f32    gathered conics
+  tile_opac (T, K)    f32    gathered opacities (0 where padded)
+  tile_col  (T, K, C) f32    gathered channel values
+  bg        (1, C)    f32
+Outputs: out (T, P, C), alpha (T, P), logt (T, P) with P = ts*ts.
+
+The backward pass re-walks the same chunks forward, maintaining the
+running prefix of <w_j c_j, g_out> so the suffix term of d/dalpha needs
+no back-to-front sweep, and emits per-(tile, k) gradients; the caller's
+jnp gather autodiff turns them into per-Gaussian scatter-adds.
+
+Gradient identities (out = sum_k w_k c_k + T_final*bg,
+w_k = alpha_k * prod_{j<k}(1-alpha_j), cut mask folded into alpha):
+  dL/dc_k      = sum_p w_kp g_out[p]
+  dL/dalpha_kp = T_before*<c_k, g> - suffix_k/(1-alpha)
+                 - (<bg, g_out[p]> - g_alpha_p) * T_final/(1-alpha)
+with suffix_k = sum_{j>k} w_j <c_j, g>; then the EWA chain
+  alpha = min(.999, o*exp(-sigma)):  do = exp(-sigma)*dalpha,
+  dsigma = -o*exp(-sigma)*dalpha  (0 where clamped/cut/invalid)
+  sigma = .5(A dx^2 + C dy^2) + B dx dy, dx = px - x_k:
+  dA = .5 dx^2 dsigma, dB = dx dy dsigma, dC = .5 dy^2 dsigma,
+  dx_k = (A dx + B dy) dsigma, dy_k = (B dx + C dy) dsigma.
+
+Cumulative sums use a lower-triangular ones matmul (MXU) rather than a
+sublane scan — guaranteed-supported and effectively free at KC=128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_CLAMP = 0.999
+ALPHA_CUTOFF = 1.0 / 255.0
+LOG_EPS = -9.2103403719761836  # log(1e-4), the transmittance cut
+
+KC = 128  # K-chunk walked per loop iteration
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pixel_coords(t, tw: int, ts: int, dtype):
+    """(1, P) pixel-center x and y for tile id t."""
+    p = ts * ts
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = ((t % tw) * ts + lin % ts).astype(dtype)
+    py = ((t // tw) * ts + lin // ts).astype(dtype)
+    return px, py
+
+
+def _tri(dtype):
+    """(KC, KC) lower-triangular ones (incl. diagonal): cumsum-by-matmul."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(dtype)
+
+
+def _chunk_alpha(xy, con, opac, px, py):
+    """alpha (KC, P) for one K-chunk against the tile's pixels, with the
+    CUDA validity predicate (sigma >= 0, alpha >= 1/255, clamp at 0.999)
+    pre-applied. Returns (alpha, dx, dy, sigma) for reuse in backward."""
+    dx = px - xy[:, 0:1]  # (KC, P)
+    dy = py - xy[:, 1:2]
+    a_ = con[:, 0:1]
+    b_ = con[:, 1:2]
+    c_ = con[:, 2:3]
+    sigma = 0.5 * (a_ * dx * dx + c_ * dy * dy) + b_ * dx * dy
+    raw = opac * jnp.exp(-sigma)  # opac is (KC, 1)
+    alpha = jnp.minimum(ALPHA_CLAMP, raw)
+    ok = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF)
+    return jnp.where(ok, alpha, 0.0), dx, dy, sigma
+
+
+def _fwd_kernel(
+    counts_ref,  # scalar prefetch (T,)
+    xy_ref, con_ref, opac_ref, col_ref, bg_ref,
+    out_ref, alpha_ref, logt_ref,
+    *, tw: int, ts: int,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    p = ts * ts
+    c = col_ref.shape[-1]
+    dtype = out_ref.dtype
+    px, py = _pixel_coords(t, tw, ts, dtype)
+    tri = _tri(dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+    n_chunks = pl.cdiv(count, KC)
+
+    def body(i, state):
+        accum, logt = state
+        sl = pl.ds(i * KC, KC)
+        alpha, _, _, _ = _chunk_alpha(
+            xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
+        )
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)  # (KC, P)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        composite = cum > LOG_EPS
+        t_before = jnp.exp(cum - log_t)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+        accum = accum + jnp.dot(w.T, col_ref[0, sl, :], preferred_element_type=dtype)
+        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
+        return accum, logt
+
+    init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype))
+    accum, logt = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    t_final = jnp.exp(logt)  # (1, P)
+    out_ref[0] = accum + t_final.T * bg_ref[0][None, :]
+    alpha_ref[0] = 1.0 - t_final.T  # (P, 1)
+    logt_ref[0] = logt.T
+
+
+def _bwd_kernel(
+    counts_ref,
+    xy_ref, con_ref, opac_ref, col_ref, bg_ref,
+    g_out_ref, g_alpha_ref, logt_ref,
+    gxy_ref, gcon_ref, gopac_ref, gcol_ref,
+    *, tw: int, ts: int,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    p = ts * ts
+    dtype = gxy_ref.dtype
+    px, py = _pixel_coords(t, tw, ts, dtype)
+    tri = _tri(dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+    n_chunks = pl.cdiv(count, KC)
+
+    g_out = g_out_ref[0]            # (P, C)
+    t_final = jnp.exp(logt_ref[0])  # (P, 1)
+    bg = bg_ref[0]                  # (C,)
+    bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)  # (P, 1)
+    # d(T_final)-mediated term: T_final feeds out via bg and alpha via -1.
+    tail_pix = (t_final * (bg_dot_g - g_alpha_ref[0])).T  # (1, P)
+
+    # Pass 1: total_blend[p] = sum_k w_k <c_k, g_out[p]> (the suffix anchor).
+    def blend_body(i, state):
+        total, logt = state
+        sl = pl.ds(i * KC, KC)
+        alpha, _, _, _ = _chunk_alpha(
+            xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
+        )
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        composite = cum > LOG_EPS
+        w = jnp.where(composite, alpha * jnp.exp(cum - log_t), 0.0)
+        gc = jnp.dot(col_ref[0, sl, :], g_out.T, preferred_element_type=dtype)
+        total = total + jnp.sum(w * gc, axis=0, keepdims=True)
+        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
+        return total, logt
+
+    total_blend, _ = jax.lax.fori_loop(
+        0, n_chunks, blend_body,
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
+    )
+
+    # zero-init gradient outputs (early-exited / empty tiles keep zeros)
+    gxy_ref[0] = jnp.zeros_like(gxy_ref[0])
+    gcon_ref[0] = jnp.zeros_like(gcon_ref[0])
+    gopac_ref[0] = jnp.zeros_like(gopac_ref[0])
+    gcol_ref[0] = jnp.zeros_like(gcol_ref[0])
+
+    # Pass 2: forward walk with running inclusive prefix of w*gc.
+    def grad_body(i, state):
+        logt, pref_carry = state
+        sl = pl.ds(i * KC, KC)
+        xy = xy_ref[0, sl, :]
+        con = con_ref[0, sl, :]
+        opac = opac_ref[0, sl, :]
+        col = col_ref[0, sl, :]
+        alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        composite = cum > LOG_EPS
+        t_before = jnp.exp(cum - log_t)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+
+        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)  # (KC, P)
+        wgc = w * gc
+        prefix = jnp.dot(tri, wgc, preferred_element_type=dtype) + pref_carry
+        suffix = total_blend - prefix  # sum_{j>k} w_j gc_j
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = t_before * gc - (suffix + tail_pix) / one_m
+        dalpha = jnp.where(composite & (w > 0.0), dalpha, 0.0)
+
+        # chain through alpha = min(.999, opac * exp(-sigma))
+        raw = opac * jnp.exp(-sigma)
+        dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
+        dsigma = -raw * dalpha
+        dopac = jnp.exp(-sigma) * dalpha
+
+        a_ = con[:, 0:1]
+        b_ = con[:, 1:2]
+        c_ = con[:, 2:3]
+        # d(dx)/d(x_gauss) = -1: sigma falls as the center approaches px
+        gxy_ref[0, sl, 0] = -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)
+        gxy_ref[0, sl, 1] = -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)
+        gcon_ref[0, sl, 0] = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
+        gcon_ref[0, sl, 1] = jnp.sum(dx * dy * dsigma, axis=1)
+        gcon_ref[0, sl, 2] = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
+        gopac_ref[0, sl, :] = jnp.sum(dopac, axis=1, keepdims=True)
+        gcol_ref[0, sl, :] = jnp.dot(w, g_out, preferred_element_type=dtype)
+
+        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
+        return logt, prefix[KC - 1 : KC, :]
+
+    jax.lax.fori_loop(
+        0, n_chunks, grad_body,
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
+    )
+
+
+def _specs(t, k, c, p, with_grads: bool):
+    in_specs = [
+        pl.BlockSpec((1, k, 2), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, k, 1), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, k, c), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+    ]
+    if with_grads:
+        in_specs += [
+            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+        ]
+    return in_specs
+
+
+def _call_fwd(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts, interpret):
+    t, k, c = tile_col.shape
+    p = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=_specs(t, k, c, p, with_grads=False),
+        out_specs=[
+            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    out, alpha, logt = pl.pallas_call(
+        functools.partial(_fwd_kernel, tw=tw, ts=ts),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, p, c), tile_col.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), tile_col.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), tile_col.dtype),
+        ],
+        interpret=interpret,
+    )(counts, tile_xy, tile_con, tile_opac[..., None], tile_col, bg)
+    return out, alpha[..., 0], logt[..., 0]
+
+
+def _call_bwd(
+    counts, tile_xy, tile_con, tile_opac, tile_col, bg, g_out, g_alpha, logt,
+    tw, ts, interpret,
+):
+    t, k, c = tile_col.shape
+    p = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=_specs(t, k, c, p, with_grads=True),
+        out_specs=[
+            pl.BlockSpec((1, k, 2), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, c), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    gxy, gcon, gopac, gcol = pl.pallas_call(
+        functools.partial(_bwd_kernel, tw=tw, ts=ts),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, k, 2), tile_xy.dtype),
+            jax.ShapeDtypeStruct((t, k, 3), tile_con.dtype),
+            jax.ShapeDtypeStruct((t, k, 1), tile_opac.dtype),
+            jax.ShapeDtypeStruct((t, k, c), tile_col.dtype),
+        ],
+        interpret=interpret,
+    )(counts, tile_xy, tile_con, tile_opac[..., None], tile_col, bg,
+      g_out, g_alpha[..., None], logt[..., None])
+    return gxy, gcon, gopac[..., 0], gcol
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _composite(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
+    out, alpha, _ = _fwd_impl(counts_f, tile_xy, tile_con, tile_opac, tile_col,
+                              bg, tw, ts)
+    return out, alpha
+
+
+def _fwd_impl(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
+    counts = counts_f.astype(jnp.int32)
+    return _call_fwd(
+        counts, tile_xy, tile_con, tile_opac, tile_col, bg[None, :], tw, ts,
+        interpret=not _on_tpu(),
+    )
+
+
+def _composite_fwd(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
+    out, alpha, logt = _fwd_impl(
+        counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts
+    )
+    return (out, alpha), (counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, logt)
+
+
+def _composite_bwd(tw, ts, res, g):
+    counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, logt = res
+    g_out, g_alpha = g
+    gxy, gcon, gopac, gcol = _call_bwd(
+        counts_f.astype(jnp.int32), tile_xy, tile_con, tile_opac, tile_col,
+        bg[None, :], g_out, g_alpha, logt, tw, ts,
+        interpret=not _on_tpu(),
+    )
+    # bg gradient: sum_p T_final g_out — cheap in jnp from logt.
+    # (The reference's backgrounds are constants/random draws, but keep the
+    # math correct for completeness.)
+    t_final = jnp.exp(logt)  # (T, P)
+    gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
+    return jnp.zeros_like(counts_f), gxy, gcon, gopac, gcol, gbg
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
+    """Differentiable per-tile compositing. counts int32 (no grad); returns
+    (out (T, P, C), alpha (T, P)). K is padded up to a multiple of the
+    kernel chunk; padded entries carry zero opacity."""
+    k = tile_opac.shape[1]
+    pad = (-k) % KC
+    if pad:
+        def padk(x):
+            widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+            return jnp.pad(x, widths)
+
+        tile_xy, tile_con, tile_opac, tile_col = (
+            padk(tile_xy), padk(tile_con), padk(tile_opac), padk(tile_col)
+        )
+    return _composite(
+        counts.astype(jnp.float32), tile_xy, tile_con, tile_opac, tile_col,
+        bg, tw, ts,
+    )

@@ -43,6 +43,10 @@ def main(argv=None) -> None:
     p.add_argument("--output", type=Path, default=None)
     p.add_argument("--num-views", type=int, default=16)
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--traj", choices=("dataset", "interpolate", "spiral"),
+                   default="dataset",
+                   help="dataset views (with metrics) or a camera-path "
+                        "trajectory (rgb only, ref render.py camera paths)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -59,6 +63,27 @@ def main(argv=None) -> None:
     render_jit = jax.jit(
         lambda f, a, c: render_fn(f, a, c, state.step, config.model),
     )
+
+    if args.traj != "dataset":
+        from gaussiangrasper_tpu.core.camera_paths import interpolate_path, spiral_path
+        from gaussiangrasper_tpu.core.cameras import Camera
+
+        if args.traj == "interpolate":
+            path = interpolate_path(dm.cameras, steps_per_transition=6)
+        else:
+            path = spiral_path(dm.cameras[0], n_frames=args.num_views)
+        (out_dir / "traj").mkdir(parents=True, exist_ok=True)
+        for i, pc in enumerate(path):
+            cam = Camera.create(pc.fx, pc.fy, pc.cx, pc.cy,
+                                pc.camera_to_world, pc.width, pc.height)
+            outs = render_jit(state.field, state.alive, cam)
+            rgb = np.asarray(jnp.clip(outs["rgb"], 0, 1))
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                out_dir / "traj" / f"{i:05d}.png"
+            )
+        print(f"rendered {len(path)} trajectory frames to {out_dir / 'traj'}")
+        return
+
     results = []
     n = min(args.num_views, len(dm))
     for i in range(n):
