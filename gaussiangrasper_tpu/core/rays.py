@@ -1,0 +1,143 @@
+"""Ray primitives + per-camera ray generation.
+
+Role of the reference's RayBundle/RaySamples (/root/reference/nerfstudio/
+cameras/rays.py:33-295) and Cameras.generate_rays (cameras/cameras.py:317)
+for the ray-marched (NeRF-family) models. Pytrees of arrays, fully
+vmappable; the Gaussian-splatting path never touches these.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiangrasper_tpu.core.cameras import Camera
+
+
+class RayBundle(NamedTuple):
+    origins: jax.Array       # (..., 3)
+    directions: jax.Array    # (..., 3) unit
+    pixel_area: jax.Array    # (..., 1)
+    nears: Optional[jax.Array] = None
+    fars: Optional[jax.Array] = None
+
+
+class RaySamples(NamedTuple):
+    positions: jax.Array    # (..., S, 3)
+    directions: jax.Array   # (..., S, 3)
+    starts: jax.Array       # (..., S, 1) bin starts along ray
+    ends: jax.Array         # (..., S, 1)
+
+    @property
+    def deltas(self) -> jax.Array:
+        return self.ends - self.starts
+
+
+def generate_rays(
+    camera: Camera, coords: Optional[jax.Array] = None
+) -> RayBundle:
+    """Rays through pixel centers. coords: (..., 2) integer (row, col);
+    default = the full image grid. OpenGL convention: camera looks down
+    -z, y up (matches the reference's directions stack at cameras.py:748)."""
+    if coords is None:
+        ys, xs = jnp.mgrid[0 : camera.height, 0 : camera.width]
+        coords = jnp.stack([ys, xs], axis=-1)
+    y = coords[..., 0].astype(jnp.float32) + 0.5
+    x = coords[..., 1].astype(jnp.float32) + 0.5
+    dx = (x - camera.cx) / camera.fx
+    dy = -(y - camera.cy) / camera.fy
+    dirs_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
+    r = camera.camera_to_world[:3, :3]
+    dirs = dirs_cam @ r.T
+    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs / norm
+    origins = jnp.broadcast_to(camera.camera_to_world[:3, 3], dirs.shape)
+    pixel_area = jnp.broadcast_to(
+        1.0 / (camera.fx * camera.fy), dirs[..., :1].shape
+    )
+    return RayBundle(origins=origins, directions=dirs, pixel_area=pixel_area)
+
+
+def sample_along_rays(
+    bundle: RayBundle,
+    near: float,
+    far: float,
+    num_samples: int,
+    key: Optional[jax.Array] = None,
+    stratified: bool = True,
+) -> RaySamples:
+    """Uniform (optionally stratified/jittered) samples (the reference's
+    UniformSampler, model_components/ray_samplers.py)."""
+    t = jnp.linspace(0.0, 1.0, num_samples + 1)
+    bins = near + (far - near) * t  # (S+1,)
+    shape = bundle.origins.shape[:-1]
+    starts = jnp.broadcast_to(bins[:-1], shape + (num_samples,))
+    ends = jnp.broadcast_to(bins[1:], shape + (num_samples,))
+    if stratified and key is not None:
+        jitter = jax.random.uniform(key, starts.shape)
+        mids = starts + (ends - starts) * jitter
+    else:
+        mids = 0.5 * (starts + ends)
+    pos = (
+        bundle.origins[..., None, :]
+        + bundle.directions[..., None, :] * mids[..., None]
+    )
+    dirs = jnp.broadcast_to(bundle.directions[..., None, :], pos.shape)
+    return RaySamples(
+        positions=pos, directions=dirs,
+        starts=starts[..., None], ends=ends[..., None],
+    )
+
+
+def sample_pdf(
+    bins: jax.Array,       # (..., S+1) existing bin edges
+    weights: jax.Array,    # (..., S) weights from a coarse pass
+    num_samples: int,
+    key: jax.Array,
+) -> jax.Array:
+    """Inverse-CDF resampling (the reference's PDFSampler,
+    ray_samplers.py — hierarchical NeRF sampling). Returns (..., N) ts."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[..., :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )
+    u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,))
+    idx = jnp.sum((u[..., None, :] >= cdf[..., :, None]).astype(jnp.int32), axis=-2)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
+def render_weights(densities: jax.Array, deltas: jax.Array) -> jax.Array:
+    """Volumetric rendering weights w_i = T_i (1 - exp(-sigma_i d_i))
+    (the reference's RaySamples.get_weights, rays.py:107-190)."""
+    alpha = 1.0 - jnp.exp(-densities * deltas)
+    trans = jnp.exp(
+        -jnp.concatenate(
+            [jnp.zeros_like(densities[..., :1, :]),
+             jnp.cumsum(densities * deltas, axis=-2)[..., :-1, :]],
+            axis=-2,
+        )
+    )
+    return alpha * trans
+
+
+def composite(
+    weights: jax.Array, values: jax.Array, background: Optional[jax.Array] = None
+) -> jax.Array:
+    """Weighted sum along the sample axis with optional background blend
+    (the reference's RGBRenderer, model_components/renderers.py)."""
+    out = jnp.sum(weights * values, axis=-2)
+    if background is not None:
+        acc = jnp.sum(weights, axis=-2)
+        out = out + (1.0 - acc) * background
+    return out

@@ -75,16 +75,26 @@ class FullImageDatamanager:
         sampler: SamplerConfig = SamplerConfig(),
         seed: int = 0,
         cache_all: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """process_index/count: multi-host data sharding — each host trains
+        on its round-robin camera subset (the TPU-native successor of the
+        reference's rank-offset seeds + DistributedSampler-style split,
+        scripts/train.py:98)."""
         self.outputs = outputs
         self.dataset = InputDataset(outputs)
         self.sampler = sampler
-        self.rng = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(seed + process_index)
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
         self._order: List[int] = []
         self.cameras: List[ParsedCamera] = list(outputs.cameras)
+        n = len(self.dataset)
+        self._local_indices = [
+            i for i in range(n) if i % process_count == process_index
+        ] or list(range(n))
         if cache_all:
-            for i in range(len(self.dataset)):
+            for i in self._local_indices:
                 self._load(i)
 
     def __len__(self) -> int:
@@ -209,9 +219,13 @@ class FullImageDatamanager:
         return self.camera(idx), batch
 
     def next_train(self) -> Tuple[int, Camera, Dict[str, jnp.ndarray]]:
-        """Random camera without replacement per epoch (ref :361-378)."""
+        """Random camera without replacement per epoch (ref :361-378),
+        restricted to this host's shard."""
         if not self._order:
-            self._order = list(self.rng.permutation(len(self.dataset)))
+            self._order = [
+                self._local_indices[j]
+                for j in self.rng.permutation(len(self._local_indices))
+            ]
         idx = int(self._order.pop())
         cam, batch = self.get_batch(idx)
         return idx, cam, batch

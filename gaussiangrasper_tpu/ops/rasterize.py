@@ -71,9 +71,14 @@ class RasterizeConfig:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        import jax
-
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        # NOTE: 'auto' currently resolves to the XLA path everywhere. The
+        # Pallas kernels are opt-in (backend="pallas") until the tunneled
+        # axon TPU in this image proves able to Mosaic-compile remotely —
+        # its remote-compile service has wedged the chip on every Pallas
+        # submission so far (even a trivial kernel), taking ~45 min to
+        # recover. See tests/test_pallas.py for the interpret-mode proof
+        # of kernel correctness.
+        return "xla"
 
 
 class TileBins(NamedTuple):

@@ -1,0 +1,112 @@
+"""NeRF-family stack: rays, encodings, volumetric rendering, and a fit
+smoke (both fields overfit a single synthetic view)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gaussiangrasper_tpu.core.cameras import Camera
+from gaussiangrasper_tpu.core.rays import (
+    generate_rays,
+    render_weights,
+    sample_along_rays,
+    sample_pdf,
+)
+from gaussiangrasper_tpu.models.encodings import (
+    hash_grid_encode,
+    init_hash_grid,
+    positional_encoding,
+)
+from gaussiangrasper_tpu.models.nerf import NerfConfig, init_nerf, render_rays
+
+
+def cam(w=16, h=12):
+    return Camera.create(12.0, 12.0, w / 2, h / 2, jnp.eye(4)[:3], w, h)
+
+
+class TestRays:
+    def test_center_ray_points_down_minus_z(self):
+        c = cam()
+        rb = generate_rays(c, coords=jnp.array([[5, 7]]))  # row≈cy, col≈cx
+        d = np.asarray(rb.directions[0])
+        assert d[2] < -0.99
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)
+
+    def test_rays_shape_full_grid(self):
+        rb = generate_rays(cam())
+        assert rb.origins.shape == (12, 16, 3)
+
+    def test_weights_sum_to_one_minus_transmittance(self):
+        dens = jnp.ones((4, 8, 1)) * 10.0
+        deltas = jnp.full((4, 8, 1), 0.1)
+        w = render_weights(dens, deltas)
+        total = np.asarray(jnp.sum(w, axis=-2))
+        np.testing.assert_allclose(total, 1.0 - np.exp(-8.0), atol=1e-5)
+
+    def test_pdf_sampling_concentrates(self):
+        bins = jnp.linspace(0.0, 1.0, 9)[None, :].repeat(2, 0)
+        w = jnp.zeros((2, 8)).at[:, 3].set(1.0)  # all mass in bin [3/8, 4/8]
+        t = sample_pdf(bins, w, 64, jax.random.key(0))
+        t = np.asarray(t)
+        frac = ((t > 3 / 8 - 1e-3) & (t < 4 / 8 + 1e-3)).mean()
+        assert frac > 0.9
+
+
+class TestEncodings:
+    def test_positional_shape_and_range(self):
+        x = jnp.zeros((5, 3))
+        e = positional_encoding(x, 4)
+        assert e.shape == (5, 3 + 6 * 4)
+        assert float(jnp.abs(e).max()) <= 1.0
+
+    def test_hash_grid_interpolates_continuously(self):
+        params = init_hash_grid(jax.random.key(0), num_levels=4,
+                                log2_hashmap_size=10, base_res=4, max_res=32)
+        a = hash_grid_encode(params, jnp.array([[0.5, 0.5, 0.5]]))
+        b = hash_grid_encode(params, jnp.array([[0.5 + 1e-4, 0.5, 0.5]]))
+        assert a.shape == (1, 8)
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_hash_grid_gradients_flow(self):
+        params = init_hash_grid(jax.random.key(1), num_levels=2,
+                                log2_hashmap_size=8)
+        g = jax.grad(
+            lambda p: jnp.sum(hash_grid_encode(p, jnp.ones((3, 3)) * 0.3))
+        )(params)
+        assert float(jnp.abs(g["table"]).max()) > 0
+
+
+@pytest.mark.parametrize("field", ["vanilla", "nerfacto"])
+def test_nerf_overfits_single_view(field):
+    cfg = NerfConfig(field=field, num_coarse=24, num_fine=24, hidden=32,
+                     hash_levels=4, log2_hashmap_size=10, far=4.0)
+    key = jax.random.key(0)
+    params = init_nerf(key, cfg)
+    c = cam()
+    rb = generate_rays(c)
+    flat = jax.tree.map(lambda l: l.reshape(-1, l.shape[-1]), rb)
+    # target: a red square in the image center
+    target = jnp.zeros((12, 16, 3)).at[4:8, 6:10, 0].set(1.0).reshape(-1, 3)
+
+    opt = optax.adam(5e-3)
+    ostate = opt.init(params)
+
+    @jax.jit
+    def step(params, ostate, k):
+        def loss(p):
+            out = render_rays(p, flat, k, cfg)
+            return jnp.mean((out["rgb"] - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        up, ostate2 = opt.update(g, ostate)
+        return optax.apply_updates(params, up), ostate2, l
+
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        params, ostate, l = step(params, ostate, sub)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
