@@ -47,6 +47,7 @@ from gaussiangrasper_tpu.ops.projection import ProjectedGaussians, project_gauss
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
+_LOG_EPS = -9.2103403719761836  # log(TRANSMITTANCE_EPS)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +212,13 @@ def _tile_alpha(
     return jnp.where(ok, alpha, 0.0)
 
 
+K_SLAB = 128
+"""K-chunk walked per scan step in the XLA compositing path. Slab-wise
+scanning keeps the (tiles, K, pixels) intermediates 8x smaller than the
+naive full-K formulation (HBM traffic is the bottleneck) — the same walk
+the Pallas kernels do in VMEM."""
+
+
 def _composite_chunk(
     tile_ids: jax.Array,   # (TC,)
     tile_gidx: jax.Array,  # (TC, K)
@@ -225,29 +233,55 @@ def _composite_chunk(
     """Composite one chunk of tiles. Returns (out (TC, P, C), alpha (TC, P))."""
     TC, K = tile_gidx.shape
     P = ts * ts
-    valid = tile_gidx >= 0
-    g = jnp.maximum(tile_gidx, 0)
-
-    xy = xys[g]          # (TC, K, 2)
-    conic = conics[g]    # (TC, K, 3)
-    opac = jnp.where(valid, opacities[g], 0.0)
-    col = colors[g]      # (TC, K, C)
+    C = colors.shape[-1]
+    dtype = xys.dtype
 
     # Pixel-center coordinates of this tile chunk (integer-centered).
     tx = (tile_ids % tw) * ts
     ty = (tile_ids // tw) * ts
     lin = jnp.arange(P, dtype=jnp.int32)
-    px = (tx[:, None] + (lin % ts)[None, :]).astype(xys.dtype)  # (TC, P)
-    py = (ty[:, None] + (lin // ts)[None, :]).astype(xys.dtype)
+    px = (tx[:, None] + (lin % ts)[None, :]).astype(dtype)  # (TC, P)
+    py = (ty[:, None] + (lin // ts)[None, :]).astype(dtype)
 
-    alpha = _tile_alpha(px, py, xy, conic, opac, valid)  # (TC, K, P)
-    weights, t_final = composite_weights(alpha, axis=-2)  # (TC, K, P), (TC, P)
+    kc = min(K_SLAB, K)
+    n_slabs = -(-K // kc)
+    pad = n_slabs * kc - K
+    gidx = jnp.pad(tile_gidx, ((0, 0), (0, pad)), constant_values=-1)
+    gidx = gidx.reshape(TC, n_slabs, kc).transpose(1, 0, 2)  # (S, TC, kc)
 
-    # MXU: (TC, P, K) @ (TC, K, C) -> (TC, P, C)
-    out = jnp.einsum(
-        "tkp,tkc->tpc", weights, col, preferred_element_type=jnp.float32
-    )
-    out = out + t_final[..., None] * background[None, None, :]
+    def slab(carry, gi):
+        # cum_all drives the cut test (monotone: once crossed, stays
+        # crossed, matching the CUDA break); logt_comp accumulates only
+        # composited entries and yields the terminal transmittance.
+        accum, cum_all, logt_comp = carry  # (TC,P,C), (TC,P), (TC,P)
+        valid = gi >= 0
+        g = jnp.maximum(gi, 0)
+        xy = xys[g]
+        conic = conics[g]
+        opac = jnp.where(valid, opacities[g], 0.0)
+        col = colors[g]  # (TC, kc, C)
+        alpha = _tile_alpha(px, py, xy, conic, opac, valid)  # (TC, kc, P)
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.cumsum(log_t, axis=-2) + cum_all[:, None, :]
+        composite = cum > _LOG_EPS
+        t_before = jnp.exp(
+            jnp.cumsum(log_t, axis=-2) - log_t + logt_comp[:, None, :]
+        )
+        w = jnp.where(composite, alpha * t_before, 0.0)
+        accum = accum + jnp.einsum(
+            "tkp,tkc->tpc", w, col, preferred_element_type=jnp.float32
+        )
+        cum_all = cum_all + jnp.sum(log_t, axis=-2)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=-2
+        )
+        return (accum, cum_all, logt_comp), None
+
+    init = (jnp.zeros((TC, P, C), dtype), jnp.zeros((TC, P), dtype),
+            jnp.zeros((TC, P), dtype))
+    (accum, _, log_t), _ = jax.lax.scan(jax.checkpoint(slab), init, gidx)
+    t_final = jnp.exp(log_t)
+    out = accum + t_final[..., None] * background[None, None, :]
     return out, 1.0 - t_final
 
 

@@ -109,23 +109,30 @@ def _fwd_kernel(
     n_chunks = pl.cdiv(count, KC)
 
     def body(i, state):
-        accum, logt = state
+        # cum_all drives the cut test (monotone across the whole walk,
+        # matching the CUDA break); logt_comp sums only composited
+        # entries and becomes the terminal transmittance.
+        accum, cum_all, logt_comp = state
         sl = pl.ds(i * KC, KC)
         alpha, _, _, _ = _chunk_alpha(
             xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
         )
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)  # (KC, P)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
         composite = cum > LOG_EPS
-        t_before = jnp.exp(cum - log_t)
+        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
         accum = accum + jnp.dot(w.T, col_ref[0, sl, :], preferred_element_type=dtype)
-        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
-        return accum, logt
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return accum, cum_all, logt_comp
 
-    init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype))
-    accum, logt = jax.lax.fori_loop(0, n_chunks, body, init)
+    init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype),
+            jnp.zeros((1, p), dtype))
+    accum, _, logt = jax.lax.fori_loop(0, n_chunks, body, init)
 
     t_final = jnp.exp(logt)  # (1, P)
     out_ref[0] = accum + t_final.T * bg_ref[0][None, :]
@@ -158,24 +165,28 @@ def _bwd_kernel(
 
     # Pass 1: total_blend[p] = sum_k w_k <c_k, g_out[p]> (the suffix anchor).
     def blend_body(i, state):
-        total, logt = state
+        total, cum_all, logt_comp = state
         sl = pl.ds(i * KC, KC)
         alpha, _, _, _ = _chunk_alpha(
             xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
         )
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
         composite = cum > LOG_EPS
-        w = jnp.where(composite, alpha * jnp.exp(cum - log_t), 0.0)
+        w = jnp.where(composite, alpha * jnp.exp(cum - log_t - cum_all + logt_comp), 0.0)
         gc = jnp.dot(col_ref[0, sl, :], g_out.T, preferred_element_type=dtype)
         total = total + jnp.sum(w * gc, axis=0, keepdims=True)
-        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
-        return total, logt
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return total, cum_all, logt_comp
 
-    total_blend, _ = jax.lax.fori_loop(
+    total_blend, _, _ = jax.lax.fori_loop(
         0, n_chunks, blend_body,
-        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
+         jnp.zeros((1, p), dtype)),
     )
 
     # zero-init gradient outputs (early-exited / empty tiles keep zeros)
@@ -186,7 +197,7 @@ def _bwd_kernel(
 
     # Pass 2: forward walk with running inclusive prefix of w*gc.
     def grad_body(i, state):
-        logt, pref_carry = state
+        cum_all, logt_comp, pref_carry = state
         sl = pl.ds(i * KC, KC)
         xy = xy_ref[0, sl, :]
         con = con_ref[0, sl, :]
@@ -196,9 +207,9 @@ def _bwd_kernel(
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
 
         log_t = jnp.log1p(-alpha)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + logt
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
         composite = cum > LOG_EPS
-        t_before = jnp.exp(cum - log_t)
+        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
 
         gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)  # (KC, P)
@@ -228,12 +239,16 @@ def _bwd_kernel(
         gopac_ref[0, sl, :] = jnp.sum(dopac, axis=1, keepdims=True)
         gcol_ref[0, sl, :] = jnp.dot(w, g_out, preferred_element_type=dtype)
 
-        logt = logt + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0, keepdims=True)
-        return logt, prefix[KC - 1 : KC, :]
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return cum_all, logt_comp, prefix[KC - 1 : KC, :]
 
     jax.lax.fori_loop(
         0, n_chunks, grad_body,
-        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
+         jnp.zeros((1, p), dtype)),
     )
 
 

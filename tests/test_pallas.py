@@ -103,3 +103,39 @@ def test_empty_tiles_and_zero_counts():
         out["image"], jnp.broadcast_to(bg, out["image"].shape), atol=1e-6
     )
     assert float(out["alpha"].max()) == 0.0
+
+
+def test_saturated_transmittance_cut():
+    """Many opaque gaussians stacked on one spot: the transmittance cut
+    must engage identically in oracle / XLA slab scan / pallas (a
+    re-crossing bug here once produced ghost contributions from occluded
+    gaussians)."""
+    n = 400
+    key = jax.random.key(42)
+    ks = jax.random.split(key, 3)
+    # all gaussians piled near the image center, nearly opaque
+    means = jnp.concatenate(
+        [jax.random.normal(ks[0], (n, 2)) * 0.05, -2.0 - jax.random.uniform(ks[1], (n, 1)) * 2.0],
+        axis=-1,
+    )
+    scales = jnp.full((n, 3), 0.08)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opac = jnp.full((n,), 0.95)
+    colors = jax.random.uniform(ks[2], (n, 3))
+    from gaussiangrasper_tpu.core.cameras import Camera, view_matrix
+    from gaussiangrasper_tpu.ops.projection import project_gaussians
+
+    cam = Camera.create(0.6 * W, 0.6 * W, W / 2, H / 2, jnp.eye(4)[:3], W, H)
+    proj = project_gaussians(
+        means, scales, quats, view_matrix(cam.camera_to_world),
+        cam.fx, cam.fy, cam.cx, cam.cy, W, H,
+    )
+    bg = jnp.array([0.1, 0.2, 0.3])
+    xla_cfg, pl_cfg = cfgs(n)
+    ref = rasterize_projected(proj, colors, opac, bg, W, H, xla_cfg)
+    out = rasterize_projected(proj, colors, opac, bg, W, H, pl_cfg)
+    oracle = render_oracle(proj, colors, opac, bg, W, H)
+    # the cut actually engages (alpha saturates at the pile)
+    assert float(ref["alpha"].max()) > 1.0 - 2e-4
+    np.testing.assert_allclose(ref["image"], oracle, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(out["image"], oracle, atol=2e-5, rtol=1e-4)
