@@ -21,7 +21,9 @@ from gaussiangrasper_tpu.models.model import GaussianSplatConfig
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train language-embedded 3DGS on TPU")
-    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--data", type=Path, required=True, nargs="+",
+                   help="scene dir(s); several dirs = multi-scene batch "
+                        "training with a shared EFD lift MLP")
     p.add_argument("--output-dir", type=Path, default=Path("outputs"))
     p.add_argument("--experiment-name", type=str, default="gaussian-splatting")
     p.add_argument("--max-iterations", type=int, default=30000)
@@ -53,7 +55,7 @@ def main(argv=None) -> None:
         densify_grad_thresh=args.densify_grad_thresh,
     )
     config = TrainerConfig(
-        data=args.data,
+        data=args.data[0],
         output_dir=args.output_dir,
         experiment_name=args.experiment_name,
         max_iterations=args.max_iterations,
@@ -64,6 +66,11 @@ def main(argv=None) -> None:
         load_dir=args.load_dir,
         model=model,
     )
+    if len(args.data) > 1:
+        from gaussiangrasper_tpu.engine.multi_scene import train_multi
+
+        train_multi(config, args.data)
+        return
     trainer = make_trainer(config)
     trainer.setup()
     trainer.train()

@@ -143,3 +143,19 @@ def test_update_scene(run_dir, dataset_dir, tmp_path):
     ])
     edit_ckpts = sorted((run_dir / "edit" / "checkpoints").iterdir())
     assert any("step_000000000" in p.name for p in edit_ckpts) or len(edit_ckpts) >= 1
+
+
+def test_multi_scene_train(dataset_dir, tmp_path):
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path / "multi"
+    train.main([
+        "--data", str(dataset_dir), str(dataset_dir),
+        "--output-dir", str(out), "--experiment-name", "multi",
+        "--max-iterations", "4", "--steps-per-save", "4",
+        "--feature-dim", "8", "--sh-degree", "1",
+        "--warmup-length", "2", "--refine-every", "100",
+    ])
+    for i in range(2):
+        ckpts = list((out / "multi" / f"scene_{i}" / "checkpoints").iterdir())
+        assert len(ckpts) == 1
