@@ -1,0 +1,108 @@
+"""Method registry: name -> trainer factory.
+
+Role of the reference's method_configs.py registry + plugin discovery
+(/root/reference/nerfstudio/configs/method_configs.py:603,
+plugins/registry.py:34-80): the train CLI selects a method by name;
+third-party methods register through the
+`gaussiangrasper_tpu.method_configs` entry-point group or the
+GGT_METHOD_CONFIGS env var ("name=module:factory,...").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import os
+from typing import Callable, Dict
+
+
+def _gaussian_splatting(args) -> None:
+    from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+
+    model = GaussianSplatConfig(
+        feature_dim=args.feature_dim,
+        sh_degree=args.sh_degree,
+        warmup_length=args.warmup_length,
+        refine_every=args.refine_every,
+        densify_grad_thresh=args.densify_grad_thresh,
+    )
+    config = TrainerConfig(
+        data=args.data[0],
+        output_dir=args.output_dir,
+        experiment_name=args.experiment_name,
+        max_iterations=args.max_iterations,
+        steps_per_save=args.steps_per_save,
+        seed=args.seed,
+        capacity=args.capacity,
+        tensorboard=args.tensorboard,
+        load_dir=args.load_dir,
+        model=model,
+    )
+    if len(args.data) > 1:
+        from gaussiangrasper_tpu.engine.multi_scene import train_multi
+
+        train_multi(config, args.data)
+        return
+    trainer = make_trainer(config)
+    trainer.setup()
+    trainer.train()
+
+
+def _nerf(field: str):
+    def run(args) -> None:
+        from gaussiangrasper_tpu.engine.nerf_trainer import (
+            NerfTrainer,
+            NerfTrainerConfig,
+        )
+        from gaussiangrasper_tpu.engine.trainer import make_trainer, TrainerConfig
+        from gaussiangrasper_tpu.models.nerf import NerfConfig
+
+        # reuse the GS data path for parsing/caching
+        base = make_trainer(TrainerConfig(data=args.data[0]))
+        cfg = NerfTrainerConfig(
+            data=args.data[0],
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
+            max_iterations=args.max_iterations,
+            steps_per_save=args.steps_per_save,
+            seed=args.seed,
+            model=NerfConfig(field=field),
+        )
+        t = NerfTrainer(cfg, base.dm)
+        t.setup()
+        t.train()
+
+    return run
+
+
+METHODS: Dict[str, Callable] = {
+    "gaussian-splatting": _gaussian_splatting,
+    "nerfacto": _nerf("nerfacto"),
+    "vanilla-nerf": _nerf("vanilla"),
+}
+
+
+def _load_external() -> None:
+    """Entry points + env-var registration (ref plugins/registry.py)."""
+    spec = os.environ.get("GGT_METHOD_CONFIGS", "")
+    for item in filter(None, spec.split(",")):
+        name, target = item.split("=", 1)
+        mod, attr = target.split(":", 1)
+        METHODS[name] = getattr(importlib.import_module(mod), attr)
+    try:
+        from importlib.metadata import entry_points
+
+        for ep in entry_points(group="gaussiangrasper_tpu.method_configs"):
+            METHODS[ep.name] = ep.load()
+    except Exception:
+        pass
+
+
+_load_external()
+
+
+def get_method(name: str) -> Callable:
+    if name not in METHODS:
+        raise KeyError(f"unknown method {name!r}; have {sorted(METHODS)}")
+    return METHODS[name]

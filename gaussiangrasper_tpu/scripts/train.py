@@ -15,12 +15,12 @@ import argparse
 import os
 from pathlib import Path
 
-from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
-from gaussiangrasper_tpu.models.model import GaussianSplatConfig
-
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Train language-embedded 3DGS on TPU")
+    p = argparse.ArgumentParser(description="Train a method on TPU")
+    p.add_argument("--method", type=str, default="gaussian-splatting",
+                   help="registered method name (see configs/methods.py; "
+                        "extendable via entry points / GGT_METHOD_CONFIGS)")
     p.add_argument("--data", type=Path, required=True, nargs="+",
                    help="scene dir(s); several dirs = multi-scene batch "
                         "training with a shared EFD lift MLP")
@@ -47,33 +47,9 @@ def main(argv=None) -> None:
 
         jax.distributed.initialize()
 
-    model = GaussianSplatConfig(
-        feature_dim=args.feature_dim,
-        sh_degree=args.sh_degree,
-        warmup_length=args.warmup_length,
-        refine_every=args.refine_every,
-        densify_grad_thresh=args.densify_grad_thresh,
-    )
-    config = TrainerConfig(
-        data=args.data[0],
-        output_dir=args.output_dir,
-        experiment_name=args.experiment_name,
-        max_iterations=args.max_iterations,
-        steps_per_save=args.steps_per_save,
-        seed=args.seed,
-        capacity=args.capacity,
-        tensorboard=args.tensorboard,
-        load_dir=args.load_dir,
-        model=model,
-    )
-    if len(args.data) > 1:
-        from gaussiangrasper_tpu.engine.multi_scene import train_multi
+    from gaussiangrasper_tpu.configs import get_method
 
-        train_multi(config, args.data)
-        return
-    trainer = make_trainer(config)
-    trainer.setup()
-    trainer.train()
+    get_method(args.method)(args)
 
 
 if __name__ == "__main__":

@@ -159,3 +159,30 @@ def test_multi_scene_train(dataset_dir, tmp_path):
     for i in range(2):
         ckpts = list((out / "multi" / f"scene_{i}" / "checkpoints").iterdir())
         assert len(ckpts) == 1
+
+
+def test_nerf_method_from_registry(dataset_dir, tmp_path, monkeypatch):
+    from gaussiangrasper_tpu.configs import METHODS, get_method
+    from gaussiangrasper_tpu.scripts import train
+
+    assert set(METHODS) >= {"gaussian-splatting", "nerfacto", "vanilla-nerf"}
+    out = tmp_path / "nerf"
+    train.main([
+        "--method", "nerfacto", "--data", str(dataset_dir),
+        "--output-dir", str(out), "--experiment-name", "nerf-smoke",
+        "--max-iterations", "4", "--steps-per-save", "4",
+    ])
+    ckpts = list((out / "nerf-smoke" / "checkpoints").iterdir())
+    assert len(ckpts) == 1
+
+
+def test_external_method_env_registration(monkeypatch):
+    import importlib
+
+    monkeypatch.setenv("GGT_METHOD_CONFIGS", "my-method=json:dumps")
+    import gaussiangrasper_tpu.configs.methods as m
+
+    importlib.reload(m)
+    assert "my-method" in m.METHODS
+    monkeypatch.delenv("GGT_METHOD_CONFIGS")
+    importlib.reload(m)
