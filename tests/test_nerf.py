@@ -110,3 +110,27 @@ def test_nerf_overfits_single_view(field):
         losses.append(float(l))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+class TestOccupancy:
+    def test_update_and_mask(self):
+        from gaussiangrasper_tpu.models.occupancy import (
+            init_grid,
+            masked_densities,
+            occupancy_mask,
+            update_grid,
+        )
+
+        grid = init_grid([[-1, -1, -1], [1, 1, 1]], resolution=8, threshold=0.5)
+        pts = jnp.array([[0.9, 0.9, 0.9], [-0.9, -0.9, -0.9]])
+        dens = jnp.array([5.0, 0.1])
+        grid = update_grid(grid, pts, dens, ema=0.9)
+        m = occupancy_mask(grid, pts)
+        assert bool(m[0]) and not bool(m[1])
+        # EMA decay eventually clears unobserved cells
+        for _ in range(50):
+            grid = update_grid(grid, pts[1:], dens[1:], ema=0.5)
+        assert not bool(occupancy_mask(grid, pts[:1])[0])
+        # masked densities zero out empty space
+        d = masked_densities(grid, pts, jnp.ones((2, 1)))
+        np.testing.assert_allclose(np.asarray(d[:, 0]), [0.0, 0.0])
