@@ -71,6 +71,43 @@ def opencv_c2w_to_opengl(c2w: np.ndarray) -> np.ndarray:
     return out
 
 
+def icp_refine(
+    src: np.ndarray,
+    dst: np.ndarray,
+    iterations: int = 20,
+    max_corr_dist: float = 0.05,
+) -> np.ndarray:
+    """Point-to-point ICP aligning src onto dst; returns a 4x4 transform
+    (role of the reference's colored-ICP frame alignment, generate_data.py
+    :47-83 — re-implemented with scipy since open3d isn't in this image)."""
+    from scipy.spatial import cKDTree
+
+    t_total = np.eye(4)
+    cur = src.copy()
+    tree = cKDTree(dst)
+    for _ in range(iterations):
+        dist, idx = tree.query(cur, distance_upper_bound=max_corr_dist)
+        ok = np.isfinite(dist)
+        if ok.sum() < 10:
+            break
+        a = cur[ok]
+        b = dst[idx[ok]]
+        ca, cb = a.mean(0), b.mean(0)
+        h = (a - ca).T @ (b - cb)
+        u, _, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+        t = cb - r @ ca
+        step = np.eye(4)
+        step[:3, :3] = r
+        step[:3, 3] = t
+        cur = cur @ r.T + t
+        t_total = step @ t_total
+        if np.linalg.norm(t) < 1e-7 and np.allclose(r, np.eye(3), atol=1e-7):
+            break
+    return t_total
+
+
 def load_depth(path: Path) -> np.ndarray:
     if path.suffix == ".npy":
         return np.load(path).astype(np.float32)
@@ -88,6 +125,10 @@ def main(argv=None) -> None:
     p.add_argument("--z-min", type=float, default=-10.0)
     p.add_argument("--z-max", type=float, default=10.0)
     p.add_argument("--depth-max", type=float, default=3.0)
+    p.add_argument("--icp", action="store_true",
+                   help="refine each frame's pose against the accumulated "
+                        "cloud with point-to-point ICP (the reference's "
+                        "colored-ICP alignment step)")
     args = p.parse_args(argv)
 
     cap, out = args.capture, args.output
@@ -124,6 +165,16 @@ def main(argv=None) -> None:
         pts_w = pts_cam.reshape(-1, 3) @ c2w_cv[:3, :3].T + c2w_cv[:3, 3]
         keep = valid.reshape(-1) & z_band_filter(pts_w, args.z_min, args.z_max)
         idx = np.nonzero(keep)[0][:: args.subsample]
+
+        if args.icp and all_xyz:
+            ref_cloud = np.concatenate(all_xyz)
+            t_icp = icp_refine(pts_w[idx], ref_cloud)
+            c2w_cv = t_icp @ c2w_cv
+            pts_w = pts_w @ t_icp[:3, :3].T + t_icp[:3, 3]
+            normals_w = (normals_w.reshape(-1, 3) @ t_icp[:3, :3].T).reshape(
+                normals_w.shape
+            )
+
         all_xyz.append(pts_w[idx])
         all_rgb.append(rgb.reshape(-1, 3)[idx])
 

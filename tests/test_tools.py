@@ -90,3 +90,44 @@ class TestRelevancy:
                                        jnp.asarray(canon)))
         assert rel[2, 3] == rel.max()
         assert rel[2, 3] > 0.5
+
+
+class TestSegment:
+    def test_classic_masks_on_dataset(self, tmp_path):
+        from PIL import Image
+
+        from gaussiangrasper_tpu.scripts import segment
+
+        data = tmp_path / "scene"
+        (data / "images").mkdir(parents=True)
+        # two clearly separated colored squares on black
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[8:28, 8:38] = (255, 0, 0)
+        img[36:60, 50:90] = (0, 0, 255)
+        Image.fromarray(img).save(data / "images" / "a.png")
+        segment.main(["--data", str(data), "--backend", "classic",
+                      "--n-colors", "3", "--min-area", "50"])
+        m = np.load(data / "masks" / "a.npy")
+        assert m.max() >= 1  # at least two instances (+ background blob)
+        red_ids = np.unique(m[10:26, 10:36])
+        blue_ids = np.unique(m[40:58, 55:85])
+        assert len(red_ids) == 1 and len(blue_ids) == 1
+        assert red_ids[0] != blue_ids[0]
+        assert (np.load(data / "boundary_mask" / "a.npy") == 1).all()
+
+
+class TestICP:
+    def test_recovers_small_rigid_offset(self):
+        from gaussiangrasper_tpu.scripts.generate_data import icp_refine
+
+        rng = np.random.default_rng(0)
+        dst = rng.uniform(-1, 1, (2000, 3))
+        # small rotation about z + translation
+        ang = 0.02
+        r = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        t = np.array([0.01, -0.015, 0.02])
+        src = dst @ r.T + t
+        est = icp_refine(src, dst, iterations=30)
+        aligned = src @ est[:3, :3].T + est[:3, 3]
+        assert np.abs(aligned - dst).mean() < 5e-3
