@@ -53,6 +53,8 @@ class TrainerConfig:
     capacity: Optional[int] = None
     random_init_points: int = 50000
     tensorboard: bool = False
+    prefetch: bool = True
+    """Overlap host-side batch prep (sampling/IO) with device compute."""
     load_dir: Optional[Path] = None
     model: GaussianSplatConfig = dataclasses.field(default_factory=GaussianSplatConfig)
 
@@ -163,10 +165,17 @@ class Trainer:
         state = self.state if self.state is not None else self.setup()
         num_train = len(self.dm)
 
+        source = self.dm
+        prefetcher = None
+        if cfg.prefetch and cfg.max_iterations - int(state.step) > 1:
+            from gaussiangrasper_tpu.data.prefetch import PrefetchingDatamanager
+
+            prefetcher = source = PrefetchingDatamanager(self.dm)
+
         start = int(state.step)
         t0 = time.perf_counter()
         for step in range(start, cfg.max_iterations):
-            _, cam, batch = self.dm.next_train()
+            _, cam, batch = source.next_train()
             d = _downscale_factor(mcfg, step)
             cam_s, batch_s = downscale_batch(batch, cam, d)
             state, metrics = train_step(state, cam_s, batch_s, mcfg)
@@ -185,6 +194,8 @@ class Trainer:
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
                 path = ckpt.save_checkpoint(cfg.ckpt_dir, state)
                 print(f"saved {path}")
+        if prefetcher is not None:
+            prefetcher.close()
         dt = time.perf_counter() - t0
         steps_done = cfg.max_iterations - start
         if steps_done:
