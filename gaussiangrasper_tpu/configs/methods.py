@@ -46,6 +46,13 @@ def _gaussian_splatting(args) -> None:
         return
     trainer = make_trainer(config)
     trainer.setup()
+    mesh = getattr(args, "mesh", None)
+    if mesh:
+        from gaussiangrasper_tpu.parallel.host_loop import train_sharded
+
+        dp, gauss = (int(x) for x in mesh.split(","))
+        train_sharded(trainer, dp=dp, gauss=gauss)
+        return
     trainer.train()
 
 

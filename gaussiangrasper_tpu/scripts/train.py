@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=Path, required=True, nargs="+",
                    help="scene dir(s); several dirs = multi-scene batch "
                         "training with a shared EFD lift MLP")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'dp,gauss' device mesh for sharded training "
+                        "(e.g. --mesh 2,4 on 8 chips)")
     p.add_argument("--output-dir", type=Path, default=Path("outputs"))
     p.add_argument("--experiment-name", type=str, default="gaussian-splatting")
     p.add_argument("--max-iterations", type=int, default=30000)

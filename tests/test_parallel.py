@@ -95,3 +95,41 @@ def test_sharded_state_layout():
     # fea_up replicated
     w0 = next(iter(sharded.fea_up.values()))
     assert len({s.data.shape for s in w0.addressable_shards}) == 1
+
+
+def test_sharded_host_loop_cli(tmp_path):
+    """--mesh CLI path: sharded training loop end-to-end on the virtual
+    mesh, with refinement and checkpointing."""
+    import json
+
+    from PIL import Image
+
+    data = tmp_path / "scene"
+    (data / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(4):
+        name = f"f{i}.png"
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)).save(
+            data / "images" / name
+        )
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i
+        frames.append({"file_path": f"images/{name}",
+                       "transform_matrix": pose.tolist()})
+    (data / "transforms.json").write_text(json.dumps(
+        {"fl_x": 25.0, "fl_y": 25.0, "cx": 16, "cy": 12, "w": 32, "h": 24,
+         "frames": frames}))
+
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path / "out"
+    train.main([
+        "--data", str(data), "--output-dir", str(out),
+        "--experiment-name", "sharded", "--mesh", "2,4",
+        "--max-iterations", "4", "--steps-per-save", "4",
+        "--feature-dim", "8", "--sh-degree", "1",
+        "--warmup-length", "2", "--refine-every", "3",
+    ])
+    ckpts = list((out / "sharded" / "checkpoints").iterdir())
+    assert len(ckpts) == 1
