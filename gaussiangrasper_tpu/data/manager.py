@@ -26,9 +26,9 @@ from gaussiangrasper_tpu.data.dataset import InputDataset
 
 @dataclasses.dataclass
 class SamplerConfig:
-    max_groups: int = 16      # SAM mask ids per step (G)
-    pairs_per_group: int = 64  # contrastive pairs per id (P)
-    num_points: int = 1000     # CLIP distillation pixels (S, ref :907 n_samples)
+    max_groups: int = 32       # SAM mask ids per step (the reference uses all)
+    pairs_per_group: int = 800  # contrastive pairs per id (ref :911: 800)
+    num_points: int = 1000      # CLIP distillation pixels (ref :912: 1000)
     clip_dim: int = 512
 
 
@@ -179,7 +179,9 @@ class FullImageDatamanager:
     def get_batch(self, idx: int) -> Tuple[Camera, Dict[str, jnp.ndarray]]:
         data = self._load(idx)
         h, w = data["image"].shape[:2]
-        sam = data["sam_mask"]
+        # ids outside the validity mask never get sampled (the reference
+        # sets gt_mask[~valid_mask] = -1, ref get_loss_dict :871)
+        sam = np.where(data["valid_mask"], data["sam_mask"], -1).astype(np.int32)
         s = self.sampler
         clip = data.get("clip_features")
 

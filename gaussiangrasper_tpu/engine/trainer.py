@@ -79,7 +79,7 @@ def downscale_batch(batch: Dict, cam: Camera, d: int) -> Tuple[Camera, Dict]:
         return cam, batch
     import cv2
 
-    def shrink(a, interp=cv2.INTER_AREA):
+    def shrink(a, interp=cv2.INTER_LINEAR):
         a = np.asarray(a)
         out = cv2.resize(
             a.astype(np.float32), (a.shape[1] // d, a.shape[0] // d),
@@ -89,11 +89,14 @@ def downscale_batch(batch: Dict, cam: Camera, d: int) -> Tuple[Camera, Dict]:
 
     h2, w2 = np.asarray(batch["image"]).shape[0] // d, np.asarray(batch["image"]).shape[1] // d
     out = dict(batch)
+    # interpolation modes match the reference (get_loss_dict :850-867):
+    # bilinear for image/depth/normal, nearest for masks
     out["image"] = jnp.asarray(shrink(batch["image"]))
     out["depth"] = jnp.asarray(shrink(batch["depth"]))
     out["normal"] = jnp.asarray(shrink(batch["normal"]))
     out["valid_mask"] = jnp.asarray(
-        shrink(np.asarray(batch["valid_mask"]).astype(np.float32)) > 0.5
+        shrink(np.asarray(batch["valid_mask"]).astype(np.float32),
+               cv2.INTER_NEAREST) > 0.5
     )
     for k in ("pair_a", "pair_b", "points"):
         out[k] = jnp.minimum(
