@@ -92,6 +92,25 @@ class TransformsJsonParser:
             xyz, rgb = _read_ply_points(data / ply)
             metadata["points3D_xyz"] = xyz.astype(np.float32) * scale
             metadata["points3D_rgb"] = rgb
+        else:
+            # scripts/generate_data.py writes a COLMAP text model next to
+            # transforms.json in the SAME world frame — use it for seeding
+            # (the reference seeds from points3D whenever present).
+            from gaussiangrasper_tpu.data import colmap_io as cio
+
+            for sub in ("sparse/0", "colmap/sparse/0"):
+                for name, reader in (
+                    ("points3D.bin", cio.read_points3d_binary),
+                    ("points3D.txt", cio.read_points3d_text),
+                ):
+                    path = data / sub / name
+                    if path.exists():
+                        xyz, rgb, _ = reader(path)
+                        metadata["points3D_xyz"] = xyz.astype(np.float32) * scale
+                        metadata["points3D_rgb"] = rgb
+                        break
+                if "points3D_xyz" in metadata:
+                    break
 
         return DataparserOutputs(
             image_filenames=[data / n for n in names],

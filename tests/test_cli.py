@@ -186,3 +186,57 @@ def test_external_method_env_registration(monkeypatch):
     assert "my-method" in m.METHODS
     monkeypatch.delenv("GGT_METHOD_CONFIGS")
     importlib.reload(m)
+
+
+def test_training_converges_on_plane(tmp_path):
+    """Quality regression: 150 trainer-loop iterations (densification +
+    full loss set, reference hyperparams) must climb PSNR on a smooth
+    synthetic capture (noise textures are unfittable by construction)."""
+    import dataclasses
+    import json as _json
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+    from gaussiangrasper_tpu.models import losses
+    from gaussiangrasper_tpu.models import model as M
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+    from gaussiangrasper_tpu.scripts import generate_data
+
+    cap = tmp_path / "capture"
+    for d in ("color", "depth", "poses"):
+        (cap / d).mkdir(parents=True)
+    (cap / "intrinsics.json").write_text(_json.dumps(
+        {"fx": FX, "fy": FY, "cx": W / 2, "cy": H / 2, "width": W, "height": H}))
+    ys, xs = np.mgrid[0:H, 0:W]
+    smooth = np.stack([xs / W, ys / H, 0.5 + 0 * xs], -1)
+    img = (smooth * 255).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(img).save(cap / "color" / f"{i:03d}.png")
+        np.save(cap / "depth" / f"{i:03d}.npy", np.full((H, W), 1.5, np.float32))
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i
+        np.save(cap / "poses" / f"{i:03d}.npy", pose)
+    ds = tmp_path / "ds"
+    generate_data.main(["--capture", str(cap), "--output", str(ds),
+                        "--subsample", "4", "--depth-max", "5.0"])
+
+    config = TrainerConfig(
+        data=ds, output_dir=tmp_path / "out",
+        experiment_name="converge", max_iterations=150, steps_per_save=150,
+        steps_per_log=1000,
+        model=GaussianSplatConfig(feature_dim=8, sh_degree=1,
+                                  warmup_length=40, refine_every=50,
+                                  num_downscales=0),
+    )
+    trainer = make_trainer(config)
+    state = trainer.setup()
+    assert int(state.alive.sum()) < 1000  # seeded from the COLMAP points
+    cam, batch = trainer.dm.get_batch(0)
+    start = M.render(state.field, state.alive, cam, 0, config.model)
+    psnr0 = float(losses.psnr(jnp.clip(start["rgb"], 0, 1), batch["image"]))
+    state = trainer.train()
+    end = M.render(state.field, state.alive, cam, state.step, config.model)
+    psnr1 = float(losses.psnr(jnp.clip(end["rgb"], 0, 1), batch["image"]))
+    assert psnr1 > psnr0 + 3, (psnr0, psnr1)
