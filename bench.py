@@ -63,7 +63,7 @@ def build():
     return jax.jit(fwd_bwd), field
 
 
-def main():
+def _measure():
     step, field = build()
     for _ in range(WARMUP):
         l, g = step(field)
@@ -72,18 +72,56 @@ def main():
     for _ in range(ITERS):
         l, g = step(field)
     jax.block_until_ready((l, g))
-    dt = (time.perf_counter() - t0) / ITERS
-    px_per_s = WIDTH * HEIGHT / dt
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main():
+    # Watchdog: the tunneled TPU in this image can wedge indefinitely (see
+    # CLAUDE.md); if the measurement doesn't finish in time, emit a JSON
+    # line flagging the condition instead of hanging the driver.
+    import os
+    import threading
+
+    backend = jax.default_backend()
+    budget_s = float(os.environ.get("GGT_BENCH_TIMEOUT", "1500"))
+    result = {}
+
+    def run():
+        try:
+            result["dt"] = _measure()
+        except Exception as e:  # surface compile/runtime errors as a line
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    worker = threading.Thread(target=run, daemon=True)
+    worker.start()
+    worker.join(timeout=budget_s)
+
+    if "dt" in result:
+        px_per_s = WIDTH * HEIGHT / result["dt"]
+        print(
+            json.dumps(
+                {
+                    "metric": f"pixels_per_s_per_chip_fwd_bwd_800x800_200k_{backend}",
+                    "value": round(px_per_s, 1),
+                    "unit": "pixels/s",
+                    "vs_baseline": round(px_per_s / REFERENCE_PX_PER_S, 4),
+                }
+            )
+        )
+        os._exit(0)
+    reason = result.get("error", f"device did not respond within {budget_s:.0f}s")
     print(
         json.dumps(
             {
-                "metric": "pixels_per_s_per_chip_fwd_bwd_800x800_200k",
-                "value": round(px_per_s, 1),
+                "metric": f"pixels_per_s_per_chip_fwd_bwd_800x800_200k_{backend}_UNAVAILABLE",
+                "value": 0.0,
                 "unit": "pixels/s",
-                "vs_baseline": round(px_per_s / REFERENCE_PX_PER_S, 4),
+                "vs_baseline": 0.0,
+                "note": reason,
             }
         )
     )
+    os._exit(1)
 
 
 if __name__ == "__main__":

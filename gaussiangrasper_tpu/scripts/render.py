@@ -109,14 +109,29 @@ def main(argv=None) -> None:
         Image.fromarray(depth2color(depth)).save(out_dir / "depth" / f"{i:05d}.png")
 
         gt = np.asarray(batch["image"])
-        results.append(
-            {
-                "view": i,
-                "psnr": float(losses.psnr(jnp.asarray(rgb), jnp.asarray(gt))),
-                "ssim": float(losses.ssim(jnp.asarray(rgb), jnp.asarray(gt))),
-            }
-        )
-        print(f"view {i}: psnr={results[-1]['psnr']:.2f}")
+        row = {
+            "view": i,
+            "psnr": float(losses.psnr(jnp.asarray(rgb), jnp.asarray(gt))),
+            "ssim": float(losses.ssim(jnp.asarray(rgb), jnp.asarray(gt))),
+        }
+        # supervision-channel metrics when gt exists (the reference's
+        # depth/normal/feasim eval panel, gaussian_splatting.py:1032-1042)
+        gt_depth = np.asarray(batch["depth"])
+        if gt_depth.max() > 0:
+            dm_mask = jnp.asarray(gt_depth > 0.05)
+            row["depth_mae"] = float(
+                losses.masked_l1(outs["depth"][..., 0],
+                                 jnp.asarray(gt_depth), dm_mask)
+            ) / scale
+            row["normal_cos"] = 1.0 - float(
+                losses.cosine_similarity_loss(
+                    outs["normal"].reshape(-1, 3),
+                    jnp.asarray(batch["normal"]).reshape(-1, 3),
+                    weights=dm_mask.reshape(-1),
+                )
+            )
+        results.append(row)
+        print(f"view {i}: psnr={row['psnr']:.2f}")
 
     summary = {
         "experiment_name": config.experiment_name,
