@@ -141,3 +141,28 @@ class TestCameras:
         assert len(leaves) == 5  # fx fy cx cy c2w; width/height static
         out = jax.jit(lambda c: c.fx * 2)(cam)
         np.testing.assert_allclose(out, 200.0)
+
+
+class TestSceneBox:
+    def test_aabb_within(self):
+        from gaussiangrasper_tpu.core.scene_box import SceneBox, aabb_of
+
+        box = SceneBox(jnp.array([[0.0, 0, 0], [1.0, 1, 1]]))
+        pts = jnp.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]])
+        m = box.within(pts)
+        assert bool(m[0]) and not bool(m[1])
+        assert aabb_of(pts).aabb[1, 0] == 1.5
+
+    def test_oriented_box_rotated(self):
+        from gaussiangrasper_tpu.core.scene_box import OrientedBox
+
+        # unit cube rotated 45 deg about z, centered at origin
+        ang = jnp.pi / 4
+        quat = jnp.array([jnp.cos(ang / 2), 0.0, 0.0, jnp.sin(ang / 2)])
+        box = OrientedBox(quat, jnp.zeros(3), jnp.array([2.0, 1.0, 1.0]))
+        # a point along the rotated long axis (45 deg in xy) is inside...
+        inside = jnp.array([[0.6, 0.6, 0.0]])
+        # ...but along world x at the same distance it's outside (short axis)
+        outside = jnp.array([[0.9, 0.0, 0.0]])
+        assert bool(box.within(inside)[0])
+        assert not bool(box.within(outside)[0])
