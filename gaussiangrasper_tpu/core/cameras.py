@@ -66,8 +66,9 @@ class Camera:
             cx=self.cx * scale,
             cy=self.cy * scale,
             camera_to_world=self.camera_to_world,
-            width=int(round(self.width * scale)),
-            height=int(round(self.height * scale)),
+            # floor, matching the reference's rescale + the //d image resize
+            width=int(self.width * scale),
+            height=int(self.height * scale),
         )
 
     @property

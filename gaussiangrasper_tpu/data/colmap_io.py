@@ -44,8 +44,9 @@ class ColmapCamera:
         """(fx, fy, cx, cy)."""
         p = self.params
         if self.model == "SIMPLE_PINHOLE" or self.model.startswith("SIMPLE_RADIAL") \
-                or self.model in ("RADIAL", "RADIAL_FISHEYE", "FOV"):
+                or self.model in ("RADIAL", "RADIAL_FISHEYE"):
             return float(p[0]), float(p[0]), float(p[1]), float(p[2])
+        # PINHOLE/OPENCV*/FULL_OPENCV/THIN_PRISM/FOV: (fx, fy, cx, cy, ...)
         return float(p[0]), float(p[1]), float(p[2]), float(p[3])
 
     def distortion(self) -> np.ndarray:
@@ -137,16 +138,27 @@ def read_images_binary(path: Path) -> Dict[int, ColmapImage]:
 
 def read_images_text(path: Path) -> Dict[int, ColmapImage]:
     out = {}
-    lines = [l.strip() for l in open(path) if l.strip() and not l.startswith("#")]
-    # alternating pose line / 2D-point line
-    for pose_line in lines[0::2]:
-        p = pose_line.split()
-        out[int(p[0])] = ColmapImage(
-            qvec=np.array([float(x) for x in p[1:5]]),
-            tvec=np.array([float(x) for x in p[5:8]]),
-            camera_id=int(p[8]),
-            name=p[9],
-        )
+    # pose lines strictly alternate with 2D-point lines, and a points line
+    # may be EMPTY (zero observations) — so blank lines must count toward
+    # the alternation rather than being stripped first.
+    expecting_pose = True
+    for raw in open(path):
+        line = raw.rstrip("\n")
+        if line.strip().startswith("#"):
+            continue
+        if expecting_pose:
+            if not line.strip():
+                continue  # leading/trailing blank outside the alternation
+            p = line.split()
+            out[int(p[0])] = ColmapImage(
+                qvec=np.array([float(x) for x in p[1:5]]),
+                tvec=np.array([float(x) for x in p[5:8]]),
+                camera_id=int(p[8]),
+                name=p[9],
+            )
+            expecting_pose = False
+        else:
+            expecting_pose = True  # consumed the (possibly empty) points line
     return out
 
 

@@ -17,6 +17,7 @@ import numpy as np
 from gaussiangrasper_tpu.data.dataparsers.base import (
     DataparserOutputs,
     ParsedCamera,
+    apply_transform_to_points,
     auto_orient_and_center_poses,
 )
 
@@ -90,7 +91,8 @@ class TransformsJsonParser:
         ply = meta.get("ply_file_path")
         if ply and (data / ply).exists():
             xyz, rgb = _read_ply_points(data / ply)
-            metadata["points3D_xyz"] = xyz.astype(np.float32) * scale
+            xyz = apply_transform_to_points(transform, xyz) * scale
+            metadata["points3D_xyz"] = xyz.astype(np.float32)
             metadata["points3D_rgb"] = rgb
         else:
             # scripts/generate_data.py writes a COLMAP text model next to
@@ -106,7 +108,8 @@ class TransformsJsonParser:
                     path = data / sub / name
                     if path.exists():
                         xyz, rgb, _ = reader(path)
-                        metadata["points3D_xyz"] = xyz.astype(np.float32) * scale
+                        xyz = apply_transform_to_points(transform, xyz) * scale
+                        metadata["points3D_xyz"] = xyz.astype(np.float32)
                         metadata["points3D_rgb"] = rgb
                         break
                 if "points3D_xyz" in metadata:

@@ -29,16 +29,24 @@ class PrefetchingDatamanager:
 
     def _fill(self) -> None:
         while not self._stop.is_set():
-            item = self.dm.next_train()
+            try:
+                item = self.dm.next_train()
+            except BaseException as e:  # propagate instead of dying silently
+                item = e
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.25)
                     break
                 except queue.Full:
                     continue
+            if isinstance(item, BaseException):
+                return
 
     def next_train(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
 
     def __len__(self) -> int:
         return len(self.dm)

@@ -73,6 +73,17 @@ def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState
         stacked, metrics = multi_scene_train_step(
             stacked, cam_stack, batch_stack, config.model, share_up_net
         )
+        if (step + 1) % config.model.refine_every == 0:
+            from gaussiangrasper_tpu.engine.train_state import refine_step
+
+            per_scene = unstack_states(stacked, n_scenes)
+            cam0 = cams[0]
+            per_scene = [
+                refine_step(st, config.model, cam0.width, cam0.height,
+                            len(t.dm))
+                for st, t in zip(per_scene, trainers)
+            ]
+            stacked = stack_states(per_scene)
         if step % config.steps_per_log == 0:
             print(
                 f"[{step:6d}] scenes={n_scenes} loss={float(metrics['loss']):.4f} "

@@ -59,14 +59,17 @@ def accumulate_stats(
     width: int,
     height: int,
 ) -> DensifyStats:
-    """Per-step update (ref after_train :373-393). The first visibility of a
-    Gaussian initializes its counter to 1, later ones increment — summing a
-    0/1 indicator reproduces that exactly."""
+    """Per-step update (ref after_train :373-393). The reference's FIRST
+    accumulation after a reset sets vis_counts to ONES for every Gaussian
+    and grad_norm to the raw grads (ref :380-382: torch.ones_like); later
+    steps increment only visible entries. Replicated via the first-step
+    branch below (detected by an all-zero counter)."""
     vis = (radii > 0.0).astype(jnp.float32)
     gn = jnp.linalg.norm(xy_grads, axis=-1)
+    first = jnp.sum(stats.vis_counts) == 0.0
     return DensifyStats(
-        grad_norm_sum=stats.grad_norm_sum + gn * vis,
-        vis_counts=stats.vis_counts + vis,
+        grad_norm_sum=jnp.where(first, gn, stats.grad_norm_sum + gn * vis),
+        vis_counts=jnp.where(first, jnp.ones_like(vis), stats.vis_counts + vis),
         max_radii=jnp.maximum(stats.max_radii, vis * radii / float(max(width, height))),
     )
 
@@ -242,4 +245,11 @@ def refine(
         for name, st in adam_groups.items()
     }
 
-    return new_field, new_alive, new_adam, DensifyStats.zeros(c)
+    # Stats reset only once refinement is actually active (the reference's
+    # whole refinement_after body — including the reset — is inside the
+    # `step >= warmup_length` guard, ref :403, :476-478).
+    new_stats = jax.tree.map(
+        lambda z, old: jnp.where(past_warmup, z, old),
+        DensifyStats.zeros(c), stats,
+    )
+    return new_field, new_alive, new_adam, new_stats

@@ -27,11 +27,12 @@ def init_mlp(
     params = {}
     for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
         key, kw, kb = jax.random.split(key, 3)
+        # torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) ->
+        # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights and bias alike
         bound = 1.0 / jnp.sqrt(d_in)
         params[f"w{i}"] = jax.random.uniform(
-            kw, (d_in, d_out), minval=-bound * jnp.sqrt(3.0) * jnp.sqrt(2.0),
-            maxval=bound * jnp.sqrt(3.0) * jnp.sqrt(2.0),
-        ) / jnp.sqrt(2.0)
+            kw, (d_in, d_out), minval=-bound, maxval=bound
+        )
         params[f"b{i}"] = jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound)
     return params
 

@@ -123,7 +123,9 @@ def render(
         proj = proj._replace(xys=proj.xys + probe)
 
     # View-dependent colors (SH), degree scheduled by step (ref :726-731).
-    viewdirs = field.means - camera.origin[None, :]
+    # The reference detaches means for the view direction (ref :726) —
+    # xyz receives no gradient through the SH basis.
+    viewdirs = jax.lax.stop_gradient(field.means) - camera.origin[None, :]
     viewdirs = viewdirs / losses.safe_norm(viewdirs)
     n_deg = active_sh_degree(step, cfg)
     rgbs = jnp.clip(sh.eval_sh(n_deg, viewdirs, field.sh_coeffs) + 0.5, 0.0, 1.0)

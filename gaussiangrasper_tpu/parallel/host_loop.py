@@ -23,6 +23,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gaussiangrasper_tpu.engine import checkpoint as ckpt
 from gaussiangrasper_tpu.engine.train_state import refine_step
+from gaussiangrasper_tpu.engine.trainer import _downscale_factor, downscale_batch
 from gaussiangrasper_tpu.parallel.mesh import make_mesh
 from gaussiangrasper_tpu.parallel.train import (
     make_sharded_train_step,
@@ -63,9 +64,11 @@ def train_sharded(
     start = int(state.step)
     t0 = time.perf_counter()
     for step in range(start, cfg.max_iterations):
+        d = _downscale_factor(mcfg, step)
         cams, batches = [], []
         for _ in range(local_dp):
             _, cam, batch = trainer.dm.next_train()
+            cam, batch = downscale_batch(batch, cam, d)
             cams.append(cam)
             batches.append(batch)
         cam_stack = jax.tree.map(lambda *ls: jnp.stack(ls), *cams)
@@ -78,8 +81,8 @@ def train_sharded(
         state, metrics = step_fn(state, cam_stack, batch_stack)
 
         if (step + 1) % mcfg.refine_every == 0:
-            cam0 = trainer.dm.camera(0)
-            state = refine_step(state, mcfg, cam0.width, cam0.height, num_train)
+            state = refine_step(state, mcfg, cams[0].width, cams[0].height,
+                                num_train)
 
         if trainer.writer is not None and jax.process_index() == 0:
             trainer.writer.step(
