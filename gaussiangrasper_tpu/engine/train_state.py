@@ -20,6 +20,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from gaussiangrasper_tpu.core.cameras import Camera
 from gaussiangrasper_tpu.engine import optimizers as optim
@@ -99,6 +100,12 @@ def train_step(
         "gaussian_count": state.num_alive,
         "overflow": aux["overflow"],
         **aux["loss_dict"],
+        # per-group gradient norms (the reference's log_gradients panel,
+        # trainer.py:483-492) — cheap reduces, always on
+        **{
+            f"grad_norm/{name}": optax.global_norm(g)
+            for name, g in optim.to_groups(grads).items()
+        },
     }
     new_state = TrainState(
         step=state.step + 1,

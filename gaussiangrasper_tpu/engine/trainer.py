@@ -194,6 +194,22 @@ class Trainer:
                     {k: metrics[k] for k in ("loss", "psnr", "gaussian_count")},
                     pixels=cam_s.width * cam_s.height,
                 )
+                # eval-image panel (ref trainer.py:529-532): render a held
+                # view into tensorboard every steps_per_eval_image
+                if (
+                    cfg.tensorboard
+                    and (step + 1) % cfg.steps_per_eval_image == 0
+                ):
+                    from gaussiangrasper_tpu.models.model import render as render_fn
+
+                    ev_cam, _ = self.dm.get_batch(0)
+                    outs = render_fn(
+                        state.field, state.alive, ev_cam, state.step, mcfg
+                    )
+                    self.writer.image(
+                        step, "eval/rgb",
+                        np.clip(np.asarray(outs["rgb"]), 0, 1),
+                    )
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
                 path = ckpt.save_checkpoint(cfg.ckpt_dir, state)
                 print(f"saved {path}")
