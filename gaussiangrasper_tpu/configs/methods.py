@@ -56,7 +56,7 @@ def _gaussian_splatting(args) -> None:
     trainer.train()
 
 
-def _nerf(field: str):
+def _nerf(field: str, depth_lambda: float = 0.0):
     def run(args) -> None:
         from gaussiangrasper_tpu.engine.nerf_trainer import (
             NerfTrainer,
@@ -74,6 +74,7 @@ def _nerf(field: str):
             max_iterations=args.max_iterations,
             steps_per_save=args.steps_per_save,
             seed=args.seed,
+            depth_lambda=depth_lambda,
             model=NerfConfig(field=field),
         )
         t = NerfTrainer(cfg, base.dm)
@@ -87,6 +88,7 @@ METHODS: Dict[str, Callable] = {
     "gaussian-splatting": _gaussian_splatting,
     "nerfacto": _nerf("nerfacto"),
     "vanilla-nerf": _nerf("vanilla"),
+    "depth-nerfacto": _nerf("nerfacto", depth_lambda=0.1),
 }
 
 

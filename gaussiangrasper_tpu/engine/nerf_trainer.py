@@ -37,6 +37,7 @@ class NerfTrainerConfig:
     max_iterations: int = 5000
     rays_per_batch: int = 1024
     lr: float = 5e-3
+    depth_lambda: float = 0.0  # depth L1 weight (depth-nerfacto variant)
     steps_per_save: int = 2000
     steps_per_log: int = 50
     seed: int = 42
@@ -48,16 +49,22 @@ class NerfTrainerConfig:
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def _nerf_step(params, opt_state, camera, coords, target, key, cfg, tx_lr):
+def _nerf_step(params, opt_state, camera, coords, target, target_depth,
+               key, cfg, tx_lr, depth_lambda):
     tx = optax.adam(tx_lr)
 
     def loss_fn(p):
         rb = generate_rays(camera, coords)
         out = render_rays(p, rb, key, cfg)
         mse = jnp.mean((out["rgb"] - target) ** 2)
-        return mse, out
+        # masked depth L1 (the depth-nerfacto term, ref models/depth_nerfacto.py)
+        dmask = (target_depth > 0.05).astype(mse.dtype)
+        dl1 = jnp.sum(
+            jnp.abs(out["depth"][..., 0] - target_depth) * dmask
+        ) / jnp.maximum(jnp.sum(dmask), 1.0)
+        return mse + depth_lambda * dl1, (out, mse)
 
-    (mse, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (_, (out, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = tx.update(grads, opt_state)
     params = optax.apply_updates(params, updates)
     psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
@@ -92,10 +99,11 @@ class NerfTrainer:
             xs = jnp.asarray(self.rng.integers(0, cam.width, cfg.rays_per_batch))
             coords = jnp.stack([ys, xs], -1)
             target = img[ys, xs]
+            target_depth = batch["depth"][ys, xs]
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, metrics = _nerf_step(
-                self.params, self.opt_state, cam, coords, target, sub,
-                cfg.model, cfg.lr,
+                self.params, self.opt_state, cam, coords, target,
+                target_depth, sub, cfg.model, cfg.lr, cfg.depth_lambda,
             )
             writer.step(step, metrics, pixels=cfg.rays_per_batch)
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:

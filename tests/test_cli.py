@@ -240,3 +240,15 @@ def test_training_converges_on_plane(tmp_path):
     end = M.render(state.field, state.alive, cam, state.step, config.model)
     psnr1 = float(losses.psnr(jnp.clip(end["rgb"], 0, 1), batch["image"]))
     assert psnr1 > psnr0 + 3, (psnr0, psnr1)
+
+
+def test_depth_nerfacto_method(dataset_dir, tmp_path):
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path / "dn"
+    train.main([
+        "--method", "depth-nerfacto", "--data", str(dataset_dir),
+        "--output-dir", str(out), "--experiment-name", "dn-smoke",
+        "--max-iterations", "3", "--steps-per-save", "3",
+    ])
+    assert list((out / "dn-smoke" / "checkpoints").iterdir())
