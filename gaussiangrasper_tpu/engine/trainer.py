@@ -55,6 +55,8 @@ class TrainerConfig:
     tensorboard: bool = False
     prefetch: bool = True
     """Overlap host-side batch prep (sampling/IO) with device compute."""
+    viewer_port: Optional[int] = None
+    """Serve the live training viewer on this port (ref viewer_beta)."""
     load_dir: Optional[Path] = None
     model: GaussianSplatConfig = dataclasses.field(default_factory=GaussianSplatConfig)
 
@@ -175,6 +177,15 @@ class Trainer:
 
             prefetcher = source = PrefetchingDatamanager(self.dm)
 
+        viewer_server = None
+        if cfg.viewer_port is not None:
+            from gaussiangrasper_tpu.scripts.viewer import serve_in_background
+
+            self.state = state
+            viewer_server = serve_in_background(
+                lambda: self.state, mcfg, cfg.viewer_port
+            )
+
         start = int(state.step)
         t0 = time.perf_counter()
         for step in range(start, cfg.max_iterations):
@@ -182,6 +193,19 @@ class Trainer:
             d = _downscale_factor(mcfg, step)
             cam_s, batch_s = downscale_batch(batch, cam, d)
             state, metrics = train_step(state, cam_s, batch_s, mcfg)
+            self.state = state  # live handle for the training viewer
+
+            # failure detection: a non-finite loss means the run is
+            # poisoned — save a post-mortem checkpoint and stop instead of
+            # silently training on NaNs (the reference has no such guard).
+            if step % 10 == 0 and not np.isfinite(float(metrics["loss"])):
+                if prefetcher is not None:
+                    prefetcher.close()
+                path = ckpt.save_checkpoint(cfg.ckpt_dir, state, step=step)
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}; post-mortem state "
+                    f"saved to {path}"
+                )
 
             if (step + 1) % mcfg.refine_every == 0:
                 state = refine_step(
@@ -215,6 +239,8 @@ class Trainer:
                 print(f"saved {path}")
         if prefetcher is not None:
             prefetcher.close()
+        if viewer_server is not None:
+            viewer_server.shutdown()
         dt = time.perf_counter() - t0
         steps_done = cfg.max_iterations - start
         if steps_done:

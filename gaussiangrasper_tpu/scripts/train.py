@@ -24,6 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=Path, required=True, nargs="+",
                    help="scene dir(s); several dirs = multi-scene batch "
                         "training with a shared EFD lift MLP")
+    p.add_argument("--viewer-port", type=int, default=None,
+                   help="serve the live training viewer on this port")
     p.add_argument("--mesh", type=str, default=None,
                    help="'dp,gauss' device mesh for sharded training "
                         "(e.g. --mesh 2,4 on 8 chips)")

@@ -79,43 +79,48 @@ def look_at(eye, center, up):
     return np.stack([x, y, z, eye], axis=1).astype(np.float32)
 
 
-def main(argv=None) -> None:
-    p = argparse.ArgumentParser(description="Browser viewer for a trained run")
-    p.add_argument("--run-dir", type=Path, required=True)
-    p.add_argument("--port", type=int, default=7007)
-    p.add_argument("--width", type=int, default=640)
-    p.add_argument("--height", type=int, default=480)
-    args = p.parse_args(argv)
+def make_server(state_provider, model_cfg, port: int, width: int, height: int):
+    """HTTP viewer server over a live state source.
 
+    state_provider() -> TrainState; called per frame, so a running trainer
+    can hand out its latest state (the reference's train-while-view loop,
+    viewer_beta/viewer.py:367-406 — here lock-free: a stale/donated state
+    mid-step just retries with the fresh one).
+    """
     from PIL import Image
 
     from gaussiangrasper_tpu.core.cameras import Camera
     from gaussiangrasper_tpu.models.model import feature_pca_vis, render as render_fn
-    from gaussiangrasper_tpu.scripts.common import load_run
 
-    config, trainer, state = load_run(args.run_dir)
-    w, h = args.width, args.height
+    w, h = width, height
     f = 0.7 * w
-
     render_jit = jax.jit(
-        lambda fl, a, c: render_fn(fl, a, c, state.step, config.model)
+        lambda fl, a, c, s: render_fn(fl, a, c, s, model_cfg)
     )
     lock = threading.Lock()
 
     def render_pose(eye, center, up, mode):
         cam = Camera.create(f, f, w / 2, h / 2, look_at(eye, center, up), w, h)
-        with lock:
-            outs = render_jit(state.field, state.alive, cam)
-            if mode == "depth":
-                d = np.asarray(outs["depth"][..., 0])
-                d = (d - d.min()) / (d.max() - d.min() + 1e-8)
-                rgb = np.stack([d] * 3, -1)
-            elif mode == "normal":
-                rgb = np.asarray(outs["normal_vis"])
-            elif mode == "feature":
-                rgb = np.asarray(feature_pca_vis(outs["feature"]))
-            else:
-                rgb = np.asarray(jnp.clip(outs["rgb"], 0, 1))
+        for _ in range(3):  # retry if the state was donated mid-render
+            state = state_provider()
+            try:
+                with lock:
+                    outs = render_jit(state.field, state.alive, cam, state.step)
+                    if mode == "depth":
+                        d = np.asarray(outs["depth"][..., 0])
+                        d = (d - d.min()) / (d.max() - d.min() + 1e-8)
+                        rgb = np.stack([d] * 3, -1)
+                    elif mode == "normal":
+                        rgb = np.asarray(outs["normal_vis"])
+                    elif mode == "feature":
+                        rgb = np.asarray(feature_pca_vis(outs["feature"]))
+                    else:
+                        rgb = np.asarray(jnp.clip(outs["rgb"], 0, 1))
+                break
+            except RuntimeError:
+                continue
+        else:
+            rgb = np.zeros((h, w, 3), np.float32)
         buf = io.BytesIO()
         Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
             buf, "JPEG", quality=85
@@ -142,7 +147,33 @@ def main(argv=None) -> None:
             self.end_headers()
             self.wfile.write(jpeg)
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def serve_in_background(state_provider, model_cfg, port: int,
+                        width: int = 320, height: int = 240):
+    """Start the viewer on a daemon thread (used by `ggt-train --viewer-port`)."""
+    server = make_server(state_provider, model_cfg, port, width, height)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    print(f"live viewer on http://localhost:{port}", flush=True)
+    return server
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Browser viewer for a trained run")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--port", type=int, default=7007)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    args = p.parse_args(argv)
+
+    from gaussiangrasper_tpu.scripts.common import load_run
+
+    config, trainer, state = load_run(args.run_dir)
+    server = make_server(
+        lambda: state, config.model, args.port, args.width, args.height
+    )
     print(f"viewer on http://localhost:{args.port} "
           f"({int(jnp.sum(state.alive))} gaussians)")
     server.serve_forever()

@@ -252,3 +252,50 @@ def test_depth_nerfacto_method(dataset_dir, tmp_path):
         "--max-iterations", "3", "--steps-per-save", "3",
     ])
     assert list((out / "dn-smoke" / "checkpoints").iterdir())
+
+
+def test_live_training_viewer(dataset_dir, tmp_path):
+    """The viewer serves frames WHILE training runs (ref viewer_beta)."""
+    import io
+    import threading
+    import time
+    import urllib.request
+
+    from PIL import Image
+
+    from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+
+    port = 7311
+    config = TrainerConfig(
+        data=dataset_dir, output_dir=tmp_path / "out",
+        experiment_name="live", max_iterations=60, steps_per_save=60,
+        steps_per_log=1000, viewer_port=port,
+        model=GaussianSplatConfig(feature_dim=8, sh_degree=1,
+                                  warmup_length=10, refine_every=20,
+                                  num_downscales=0),
+    )
+    trainer = make_trainer(config)
+    trainer.setup()
+    t = threading.Thread(target=trainer.train)
+    t.start()
+    try:
+        got = None
+        deadline = time.time() + 90
+        while time.time() < deadline and got is None:
+            try:
+                req = urllib.request.Request(
+                    f"http://localhost:{port}/render",
+                    data=b'{"eye":[0,0,1],"center":[0,0,-2],"up":[0,1,0],"mode":"rgb"}',
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    got = r.read()
+            except Exception:
+                time.sleep(1.0)
+        assert got, "viewer never served a frame during training"
+        img = Image.open(io.BytesIO(got))
+        assert img.size == (320, 240)
+    finally:
+        t.join(timeout=300)
+    assert not t.is_alive()
