@@ -82,6 +82,31 @@ def _nerf(field: str, depth_lambda: float = 0.0):
         t.setup()
         t.train()
 
+        # eval render-out (the GS path gets this via scripts/render.py)
+        import json
+
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        from gaussiangrasper_tpu.models import losses
+
+        out_dir = cfg.run_dir / "renders"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for i in range(min(4, len(base.dm))):
+            cam, batch = base.dm.get_batch(i)
+            rgb = np.clip(np.asarray(t.render_image(cam)), 0, 1)
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                out_dir / f"{i:05d}.png"
+            )
+            rows.append({
+                "view": i,
+                "psnr": float(losses.psnr(jnp.asarray(rgb), batch["image"])),
+            })
+        (out_dir / "metrics.json").write_text(json.dumps(rows, indent=2))
+        print("eval:", rows)
+
     return run
 
 
