@@ -61,11 +61,15 @@ def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState
         states.append(t.setup())
     stacked = stack_states(states)
 
+    from gaussiangrasper_tpu.engine.trainer import _downscale_factor, downscale_batch
+
     n_scenes = len(trainers)
     for step in range(int(states[0].step), config.max_iterations):
+        d = _downscale_factor(config.model, step)
         cams, batches = [], []
         for t in trainers:
             _, cam, batch = t.dm.next_train()
+            cam, batch = downscale_batch(batch, cam, d)
             cams.append(cam)
             batches.append(batch)
         cam_stack = jax.tree.map(lambda *ls: jnp.stack(ls), *cams)
