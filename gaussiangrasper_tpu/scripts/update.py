@@ -125,7 +125,8 @@ def main(argv=None) -> None:
 
     # fine-tune on the post-move capture (ref :163-177)
     edit_dir = args.run_dir / "edit"
-    ckpt.save_checkpoint(edit_dir / "checkpoints", state, step=0)
+    ckpt.save_checkpoint(edit_dir / "checkpoints", state, step=0,
+                         keep_only_latest=False)
 
     ft_config = dataclasses.replace(
         config,
@@ -144,7 +145,10 @@ def main(argv=None) -> None:
     ft_trainer.setup()
     ft_trainer.state = state
     state = ft_trainer.train()
-    path = ckpt.save_checkpoint(edit_dir / "checkpoints", state, step=9999999)
+    # keep the step-0 pre-finetune state too (the reference sets
+    # save_only_latest_checkpoint=False for the edit flow, update.py:166)
+    path = ckpt.save_checkpoint(edit_dir / "checkpoints", state,
+                                step=9999999, keep_only_latest=False)
     print(f"edited scene saved to {path}")
 
 
