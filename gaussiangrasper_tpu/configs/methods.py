@@ -57,7 +57,7 @@ def _gaussian_splatting(args) -> None:
     trainer.train()
 
 
-def _nerf(field: str, depth_lambda: float = 0.0):
+def _nerf(field: str, model_kwargs: dict | None = None, **trainer_kwargs):
     def run(args) -> None:
         from gaussiangrasper_tpu.engine.nerf_trainer import (
             NerfTrainer,
@@ -68,6 +68,10 @@ def _nerf(field: str, depth_lambda: float = 0.0):
 
         # reuse the GS data path for parsing/caching
         base = make_trainer(TrainerConfig(data=args.data[0]))
+        mkw = dict(model_kwargs or {})
+        if mkw.pop("_appearance_per_image", False):
+            # phototourism: one appearance embedding per training image
+            mkw["num_appearance_embeds"] = len(base.dm)
         cfg = NerfTrainerConfig(
             data=args.data[0],
             output_dir=args.output_dir,
@@ -75,8 +79,8 @@ def _nerf(field: str, depth_lambda: float = 0.0):
             max_iterations=args.max_iterations,
             steps_per_save=args.steps_per_save,
             seed=args.seed,
-            depth_lambda=depth_lambda,
-            model=NerfConfig(field=field),
+            model=NerfConfig(field=field, **mkw),
+            **trainer_kwargs,
         )
         t = NerfTrainer(cfg, base.dm)
         t.setup()
@@ -110,11 +114,50 @@ def _nerf(field: str, depth_lambda: float = 0.0):
     return run
 
 
+def _generfacto(args) -> None:
+    """Gated stub (the reference's text-to-3D generfacto needs Stable
+    Diffusion / DeepFloyd guidance weights, models/generfacto.py +
+    generative/ — this zero-egress image cannot fetch them). Mirrors the
+    reference's external-method install-hint pattern
+    (configs/external_methods.py)."""
+    raise SystemExit(
+        "generfacto requires diffusion-guidance weights (StableDiffusion/"
+        "DeepFloyd) which are unavailable in this environment. Provide "
+        "cached weights and register a method via GGT_METHOD_CONFIGS or "
+        "the gaussiangrasper_tpu.method_configs entry point."
+    )
+
+
+# the reference's registered method set (configs/method_configs.py:98-668),
+# minus the external-dep text-to-3D method which is install-hint gated
 METHODS: Dict[str, Callable] = {
     "gaussian-splatting": _gaussian_splatting,
     "nerfacto": _nerf("nerfacto"),
-    "vanilla-nerf": _nerf("vanilla"),
+    "nerfacto-big": _nerf(
+        "nerfacto",
+        {"hash_levels": 16, "log2_hashmap_size": 19, "num_fine": 96},
+    ),
+    "nerfacto-huge": _nerf(
+        "nerfacto",
+        {"hash_levels": 16, "log2_hashmap_size": 21, "num_coarse": 96,
+         "num_fine": 128},
+    ),
+    "vanilla-nerf": _nerf("vanilla", coarse_rgb_lambda=1.0),
     "depth-nerfacto": _nerf("nerfacto", depth_lambda=0.1),
+    "mipnerf": _nerf("mipnerf"),
+    "instant-ngp": _nerf("instant-ngp", use_occupancy_grid=True),
+    "instant-ngp-bounded": _nerf(
+        "instant-ngp", {"scene_scale": 1.0}, use_occupancy_grid=True
+    ),
+    "tensorf": _nerf("tensorf", tensorf_reg_lambda=5e-4),
+    "dnerf": _nerf("vanilla", {"deformation": True}, coarse_rgb_lambda=1.0),
+    "semantic-nerfw": _nerf(
+        "nerfacto", {"num_semantic_classes": 64}, semantic_lambda=0.1
+    ),
+    "phototourism": _nerf("nerfacto", {"_appearance_per_image": True}),
+    "neus": _nerf("neus", eikonal_lambda=0.1),
+    "neus-facto": _nerf("neus-facto", eikonal_lambda=0.1),
+    "generfacto": _generfacto,
 }
 
 

@@ -88,6 +88,14 @@ class TransformsJsonParser:
             )
 
         metadata = {}
+        # dnerf-style per-frame times (the reference's DNeRFDataParser
+        # reads frame["time"], data/dataparsers/dnerf_dataparser.py)
+        if any("time" in f for f in frames):
+            n = max(len(frames) - 1, 1)
+            metadata["times"] = np.array(
+                [float(f.get("time", i / n)) for i, f in enumerate(frames)],
+                np.float32,
+            )
         ply = meta.get("ply_file_path")
         if ply and (data / ply).exists():
             xyz, rgb = _read_ply_points(data / ply)

@@ -210,6 +210,9 @@ class FullImageDatamanager:
             "depth": jnp.asarray(data["depth"]),
             "normal": jnp.asarray(data["normal"]),
             "valid_mask": jnp.asarray(data["valid_mask"]),
+            # valid-gated SAM instance ids; the semantic-nerfw analog
+            # consumes these as per-pixel labels
+            "sam_mask": jnp.asarray(sam),
             "pair_a": jnp.asarray(pair_a),
             "pair_b": jnp.asarray(pair_b),
             "pair_valid": jnp.asarray(pair_valid),

@@ -254,6 +254,24 @@ def test_depth_nerfacto_method(dataset_dir, tmp_path):
     assert list((out / "dn-smoke" / "checkpoints").iterdir())
 
 
+@pytest.mark.parametrize(
+    "method", ["mipnerf", "instant-ngp", "tensorf", "dnerf", "semantic-nerfw"]
+)
+def test_model_zoo_methods_train_end_to_end(dataset_dir, tmp_path, method):
+    """Every registered ray-marched method trains for 2 steps and
+    checkpoints (the reference's all-methods CPU smoke,
+    /root/reference/tests/test_train.py:32-63)."""
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path / "zoo"
+    train.main([
+        "--method", method, "--data", str(dataset_dir),
+        "--output-dir", str(out), "--experiment-name", f"{method}-smoke",
+        "--max-iterations", "2", "--steps-per-save", "2",
+    ])
+    assert list((out / f"{method}-smoke" / "checkpoints").iterdir())
+
+
 def test_live_training_viewer(dataset_dir, tmp_path):
     """The viewer serves frames WHILE training runs (ref viewer_beta)."""
     import io
