@@ -68,11 +68,17 @@ def _measure():
     for _ in range(WARMUP):
         l, g = step(field)
     jax.block_until_ready((l, g))
-    t0 = time.perf_counter()
+    # Median of per-iteration wall times, each individually synced: the
+    # tunneled device has produced sporadic bogus (near-zero) batch
+    # timings; per-iteration medians are robust to those flakes.
+    times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         l, g = step(field)
-    jax.block_until_ready((l, g))
-    return (time.perf_counter() - t0) / ITERS
+        jax.block_until_ready((l, g))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
