@@ -38,6 +38,7 @@ def _gaussian_splatting(args) -> None:
         tensorboard=args.tensorboard,
         viewer_port=getattr(args, "viewer_port", None),
         load_dir=args.load_dir,
+        dataparser=getattr(args, "dataparser", "auto"),
         model=model,
     )
     if len(args.data) > 1:
@@ -67,7 +68,10 @@ def _nerf(field: str, model_kwargs: dict | None = None, **trainer_kwargs):
         from gaussiangrasper_tpu.models.nerf import NerfConfig
 
         # reuse the GS data path for parsing/caching
-        base = make_trainer(TrainerConfig(data=args.data[0]))
+        base = make_trainer(TrainerConfig(
+            data=args.data[0],
+            dataparser=getattr(args, "dataparser", "auto"),
+        ))
         mkw = dict(model_kwargs or {})
         if mkw.pop("_appearance_per_image", False):
             # phototourism: one appearance embedding per training image

@@ -58,6 +58,9 @@ class TrainerConfig:
     viewer_port: Optional[int] = None
     """Serve the live training viewer on this port (ref viewer_beta)."""
     load_dir: Optional[Path] = None
+    dataparser: str = "auto"
+    """Named dataparser from data/dataparsers/zoo.py (the reference's
+    15-parser CLI registry, dataparser_configs.py); auto-detects by layout."""
     model: GaussianSplatConfig = dataclasses.field(default_factory=GaussianSplatConfig)
 
     @property
@@ -250,17 +253,9 @@ class Trainer:
 
 
 def make_trainer(config: TrainerConfig) -> Trainer:
-    """Build datamanager (auto-detecting the parser) + trainer."""
-    data = Path(config.data)
-    if (data / "transforms.json").exists() or list(data.glob("transforms_*.json")):
-        from gaussiangrasper_tpu.data.dataparsers.transforms_json import (
-            TransformsJsonParser,
-        )
+    """Build datamanager (resolving the named/auto dataparser) + trainer."""
+    from gaussiangrasper_tpu.data.dataparsers.zoo import resolve_parser
 
-        outputs = TransformsJsonParser(data).parse()
-    else:
-        from gaussiangrasper_tpu.data.dataparsers.colmap import ColmapDataParser
-
-        outputs = ColmapDataParser(data).parse()
+    outputs = resolve_parser(Path(config.data), config.dataparser).parse()
     dm = FullImageDatamanager(outputs, SamplerConfig(), seed=config.seed)
     return Trainer(config, dm)

@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=Path, required=True, nargs="+",
                    help="scene dir(s); several dirs = multi-scene batch "
                         "training with a shared EFD lift MLP")
+    p.add_argument("--dataparser", type=str, default="auto",
+                   help="named dataparser (colmap, nerfstudio, blender, "
+                        "instant-ngp, minimal, scannet, sdfstudio, "
+                        "arkitscenes, dnerf, phototourism, ...) or 'auto' "
+                        "to detect from the directory layout")
     p.add_argument("--viewer-port", type=int, default=None,
                    help="serve the live training viewer on this port")
     p.add_argument("--mesh", type=str, default=None,

@@ -1,0 +1,205 @@
+"""Dataparser zoo: each named parser reads its dataset layout into the
+shared DataparserOutputs contract (synthetic on-disk fixtures, mirroring
+the reference's tmp-fixture parser tests,
+/root/reference/tests/dataparsers/test_nerfstudio_dataparser.py)."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gaussiangrasper_tpu.data.dataparsers.zoo import (
+    PARSERS,
+    _rodrigues,
+    resolve_parser,
+)
+
+W, H = 8, 6
+
+
+def _png(path, w=W, h=H):
+    from PIL import Image
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(path)
+
+
+class TestRegistry:
+    def test_all_reference_parser_names_present(self):
+        expected = {
+            "colmap", "nerfstudio", "blender", "instant-ngp", "minimal",
+            "scannet", "sdfstudio", "arkitscenes", "dnerf", "phototourism",
+            "nuscenes", "dycheck", "sitcoms3d", "nerfosr",
+        }
+        assert expected <= set(PARSERS)
+
+    def test_stub_parsers_raise_with_hint(self, tmp_path):
+        with pytest.raises(SystemExit, match="devkit"):
+            PARSERS["nuscenes"](tmp_path).parse()
+
+    def test_unknown_name_rejected(self, tmp_path):
+        with pytest.raises(KeyError, match="unknown dataparser"):
+            resolve_parser(tmp_path, "nope")
+
+
+class TestBlender:
+    def test_parses_split_and_focal(self, tmp_path):
+        meta = {
+            "camera_angle_x": 0.8,
+            "frames": [
+                {"file_path": "./r_0",
+                 "transform_matrix": np.eye(4).tolist()},
+                {"file_path": "./r_1",
+                 "transform_matrix": np.eye(4).tolist()},
+            ],
+        }
+        (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+        _png(tmp_path / "r_0.png")
+        _png(tmp_path / "r_1.png")
+        out = PARSERS["blender"](tmp_path, split="train").parse()
+        assert len(out.cameras) == 2
+        focal = 0.5 * W / math.tan(0.4)
+        assert abs(out.cameras[0].fx - focal) < 1e-6
+        assert out.metadata["alpha_color"] == "white"
+
+
+class TestInstantNGP:
+    def test_focal_fallbacks_and_scene_scale(self, tmp_path):
+        meta = {
+            "camera_angle_x": 0.8, "w": W, "h": H,
+            "k1": 0.01, "aabb_scale": 4,
+            "frames": [{"file_path": "im.png",
+                        "transform_matrix": (np.eye(4) * 1.0).tolist()}],
+        }
+        meta["frames"][0]["transform_matrix"][0][3] = 3.0  # x translation
+        (tmp_path / "transforms.json").write_text(json.dumps(meta))
+        _png(tmp_path / "im.png")
+        out = PARSERS["instant-ngp"](tmp_path).parse()
+        cam = out.cameras[0]
+        assert abs(cam.fx - W / (2 * math.tan(0.4))) < 1e-5
+        assert abs(cam.camera_to_world[0, 3] - 3.0 * 0.3333) < 1e-6
+        assert cam.distortion[0] == pytest.approx(0.01)
+        assert out.metadata["aabb"] == [[-2.0] * 3, [2.0] * 3]
+
+
+class TestMinimal:
+    def test_npz_round_trip(self, tmp_path):
+        _png(tmp_path / "img0.png")
+        np.savez(
+            tmp_path / "train.npz",
+            image_filenames=np.array(["img0.png"]),
+            cameras={
+                "fx": np.array([10.0]), "fy": np.array([10.0]),
+                "cx": np.array([4.0]), "cy": np.array([3.0]),
+                "width": np.array([W]), "height": np.array([H]),
+                "camera_to_worlds": np.eye(4)[None, :3],
+            },
+            scene_box=np.array([[-1, -1, -1], [1, 1, 1]]),
+        )
+        out = PARSERS["minimal"](tmp_path).parse()
+        assert out.cameras[0].fx == 10.0
+        assert out.metadata["aabb"] == [[-1, -1, -1], [1, 1, 1]]
+        # auto-detection picks minimal for train.npz layouts
+        assert type(resolve_parser(tmp_path)).__name__ == "MinimalParser"
+
+
+class TestScannet:
+    def _make(self, tmp_path):
+        for i in range(3):
+            _png(tmp_path / "color" / f"{i}.jpg")
+        (tmp_path / "pose").mkdir(exist_ok=True)
+        for i in range(3):
+            pose = np.eye(4)
+            pose[0, 3] = float(i)
+            if i == 1:
+                pose[1, 3] = np.inf  # invalid pose must be skipped
+            np.savetxt(tmp_path / "pose" / f"{i}.txt", pose)
+        (tmp_path / "intrinsic").mkdir()
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 7.0
+        K[0, 2], K[1, 2] = 4.0, 3.0
+        np.savetxt(tmp_path / "intrinsic" / "intrinsic_color.txt", K)
+        return tmp_path
+
+    def test_layout_flip_and_skip(self, tmp_path):
+        data = self._make(tmp_path)
+        out = PARSERS["scannet"](data, split="train").parse()
+        # one of three poses is non-finite -> skipped
+        assert len(out.cameras) == 2
+        cam = out.cameras[0]
+        assert cam.fx == 7.0
+        # OpenCV identity pose becomes OpenGL (y/z flipped)
+        r = cam.camera_to_world[:3, :3]
+        np.testing.assert_allclose(np.diag(r), [1, -1, -1], atol=1e-6)
+        assert type(resolve_parser(data)).__name__ == "ScannetParser"
+
+
+class TestSdfstudio:
+    def test_meta_data_conversion(self, tmp_path):
+        intr = np.eye(4)
+        intr[0, 0] = intr[1, 1] = 11.0
+        intr[0, 2], intr[1, 2] = 4.0, 3.0
+        meta = {
+            "height": H, "width": W,
+            "scene_box": {"aabb": [[-1, -1, -1], [1, 1, 1]]},
+            "frames": [{
+                "rgb_path": "0.png",
+                "camtoworld": np.eye(4).tolist(),
+                "intrinsics": intr.tolist(),
+            }],
+        }
+        (tmp_path / "meta_data.json").write_text(json.dumps(meta))
+        _png(tmp_path / "0.png")
+        out = PARSERS["sdfstudio"](tmp_path).parse()
+        cam = out.cameras[0]
+        assert cam.fx == 11.0
+        np.testing.assert_allclose(
+            np.diag(cam.camera_to_world[:3, :3]), [1, -1, -1], atol=1e-6
+        )
+        assert type(resolve_parser(tmp_path)).__name__ == "SdfstudioParser"
+
+
+class TestARKitScenes:
+    def test_traj_and_pincam(self, tmp_path):
+        video = "41069021"
+        data = tmp_path / video
+        base = data / f"{video}_frames"
+        (base / "lowres_wide").mkdir(parents=True)
+        (base / "lowres_wide_intrinsics").mkdir()
+        lines = []
+        for i in range(3):
+            ts = 1.0 + i
+            _png(base / "lowres_wide" / f"{video}_{ts:.3f}.png")
+            np.savetxt(
+                base / "lowres_wide_intrinsics" / f"{video}_{ts:.3f}.pincam",
+                np.array([[W, H, 9.0, 9.0, 4.0, 3.0]]),
+            )
+            lines.append(f"{ts} 0 0 0 {0.1 * i} 0 0")
+        (base / "lowres_wide.traj").write_text("\n".join(lines))
+        out = PARSERS["arkitscenes"](data, split="train").parse()
+        assert len(out.cameras) >= 2
+        assert out.cameras[0].fx == 9.0
+
+    def test_rodrigues_matches_quarter_turn(self):
+        r = _rodrigues(np.array([0.0, 0.0, np.pi / 2]))
+        np.testing.assert_allclose(
+            r @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-7
+        )
+
+
+class TestCliFlag:
+    def test_train_accepts_dataparser_flag(self, tmp_path):
+        """--dataparser blender routes to the blender layout."""
+        from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+
+        meta = {
+            "camera_angle_x": 0.8,
+            "frames": [{"file_path": "./r_0",
+                        "transform_matrix": np.eye(4).tolist()}],
+        }
+        (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+        _png(tmp_path / "r_0.png", 16, 12)
+        t = make_trainer(TrainerConfig(data=tmp_path, dataparser="blender"))
+        assert len(t.dm) == 1
