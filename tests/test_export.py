@@ -61,3 +61,68 @@ def test_ply_points_round_trip(tmp_path):
     body = data.split(b"end_header\n", 1)[1]
     rec = np.frombuffer(body, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
     np.testing.assert_allclose(rec["xyz"], xyz, atol=1e-6)
+
+
+class TestTextureBake:
+    """Texture baking (scripts/export_texture.py — the reference's
+    exporter/texture_utils.py path)."""
+
+    def test_unwrap_charts_are_disjoint_and_in_bounds(self):
+        from gaussiangrasper_tpu.scripts.export_texture import (
+            face_texels,
+            unwrap_per_triangle,
+        )
+
+        faces = np.arange(30).reshape(10, 3) % 7
+        uvs, grid, tex = unwrap_per_triangle(faces, cell_px=8)
+        assert uvs.shape == (10, 3, 2)
+        assert (uvs >= 0).all() and (uvs <= 1).all()
+        verts = np.random.default_rng(0).normal(size=(7, 3))
+        pos, tex_xy, inside = face_texels(verts, faces, grid, 8)
+        # chart texels never collide across faces
+        flat = tex_xy.reshape(-1, 2)
+        keys = flat[:, 1] * tex + flat[:, 0]
+        assert len(np.unique(keys)) == len(keys)
+
+    def test_bake_picks_visible_view(self):
+        """A point visible in view A (red) and occluded in view B (blue)
+        bakes red."""
+        from gaussiangrasper_tpu.core.cameras import Camera
+        from gaussiangrasper_tpu.scripts.export_texture import bake_from_views
+
+        cam_a = Camera.create(20.0, 20.0, 8.0, 6.0, np.eye(4)[:3], 16, 12)
+        pose_b = np.eye(4)[:3].copy()
+        pose_b[0, 3] = 5.0  # far to the side; point projects out of view
+        cam_b = Camera.create(20.0, 20.0, 8.0, 6.0, pose_b, 16, 12)
+        img_a = np.zeros((12, 16, 3)); img_a[..., 0] = 1.0   # red
+        img_b = np.zeros((12, 16, 3)); img_b[..., 2] = 1.0   # blue
+        dep_a = np.full((12, 16), 2.0)
+        dep_b = np.full((12, 16), 0.5)  # depth test fails for the point
+        pos = np.array([[0.0, 0.0, -2.0]])
+        nrm = np.array([[0.0, 0.0, 1.0]])  # faces cam A
+        rgb = bake_from_views(pos, nrm, [img_a, img_b], [dep_a, dep_b],
+                              [cam_a, cam_b])
+        np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0], atol=1e-6)
+
+    def test_obj_round_trip(self, tmp_path):
+        from gaussiangrasper_tpu.scripts.export_texture import (
+            bake_mesh_texture,
+            write_obj,
+        )
+        from gaussiangrasper_tpu.core.cameras import Camera
+
+        verts = np.array([[0, 0, -2.0], [0.5, 0, -2.0], [0, 0.5, -2.0]])
+        faces = np.array([[0, 1, 2]])
+        cam = Camera.create(20.0, 20.0, 8.0, 6.0, np.eye(4)[:3], 16, 12)
+        img = np.full((12, 16, 3), 0.25)
+        dep = np.full((12, 16), 2.0)
+        uvs, texture = bake_mesh_texture(verts, faces, [img], [dep], [cam],
+                                         cell_px=8)
+        path = write_obj(tmp_path, "m", verts, faces, uvs, texture)
+        text = path.read_text()
+        assert text.count("\nv ") == 3
+        assert text.count("\nvt ") == 3
+        assert "mtllib m.mtl" in text
+        assert (tmp_path / "m.png").exists()
+        # baked color reaches the texture where charts live
+        assert abs(np.median(texture[texture != 0.5]) - 0.25) < 0.02
