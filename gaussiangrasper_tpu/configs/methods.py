@@ -136,15 +136,16 @@ def _generfacto(args) -> None:
 # minus the external-dep text-to-3D method which is install-hint gated
 METHODS: Dict[str, Callable] = {
     "gaussian-splatting": _gaussian_splatting,
-    "nerfacto": _nerf("nerfacto"),
+    "nerfacto": _nerf("nerfacto", {"use_proposal": True}),
     "nerfacto-big": _nerf(
         "nerfacto",
-        {"hash_levels": 16, "log2_hashmap_size": 19, "num_fine": 96},
+        {"use_proposal": True, "hash_levels": 16, "log2_hashmap_size": 19,
+         "num_fine": 96},
     ),
     "nerfacto-huge": _nerf(
         "nerfacto",
-        {"hash_levels": 16, "log2_hashmap_size": 21, "num_coarse": 96,
-         "num_fine": 128},
+        {"use_proposal": True, "hash_levels": 16, "log2_hashmap_size": 21,
+         "num_proposal_samples": (256, 96), "num_fine": 128},
     ),
     "vanilla-nerf": _nerf("vanilla", coarse_rgb_lambda=1.0),
     "depth-nerfacto": _nerf("nerfacto", depth_lambda=0.1),

@@ -57,6 +57,8 @@ class NerfTrainerConfig:
     eikonal_lambda: float = 0.1    # neus family
     semantic_lambda: float = 0.0   # semantic-nerfw
     tensorf_reg_lambda: float = 0.0
+    interlevel_lambda: float = 1.0   # nerfacto proposal losses
+    distortion_lambda: float = 0.002
     coarse_rgb_lambda: float = 0.1
     use_occupancy_grid: bool = False   # instant-ngp
     grid_resolution: int = 64
@@ -93,6 +95,11 @@ def _nerf_step(params, opt_state, camera, coords, target, target_depth,
         loss = loss + weights["depth"] * dl1
         if "eikonal" in out:
             loss = loss + weights["eikonal"] * jnp.mean(out["eikonal"])
+        if "interlevel" in out:
+            # nerfacto proposal losses (ref models/nerfacto.py
+            # get_loss_dict: interlevel 1.0, distortion 0.002)
+            loss = loss + weights["interlevel"] * jnp.mean(out["interlevel"])
+            loss = loss + weights["distortion"] * jnp.mean(out["distortion"])
         if "semantics" in out and cfg.num_semantic_classes:
             c = cfg.num_semantic_classes
             valid = ((target_sem >= 0) & (target_sem < c)).astype(mse.dtype)
@@ -174,6 +181,8 @@ class NerfTrainer:
             "semantic": jnp.asarray(c.semantic_lambda),
             "tensorf_reg": jnp.asarray(c.tensorf_reg_lambda),
             "coarse": jnp.asarray(c.coarse_rgb_lambda),
+            "interlevel": jnp.asarray(c.interlevel_lambda),
+            "distortion": jnp.asarray(c.distortion_lambda),
         }
 
     def train(self):

@@ -82,6 +82,13 @@ class NerfConfig:
     deformation: bool = False          # dnerf time-warp
     time_freqs: int = 4
     deform_freqs: int = 6
+    # proposal-network sampling (the real nerfacto sampler: 2 density-only
+    # proposal fields + pdf refinement, ref models/nerfacto.py +
+    # ProposalNetworkSampler, model_components/ray_samplers.py)
+    use_proposal: bool = False
+    num_proposal_samples: Tuple[int, ...] = (128, 64)
+    proposal_hash_levels: int = 5
+    proposal_log2_hashmap_size: int = 15
 
 
 def _geo_dim(cfg: NerfConfig) -> int:
@@ -139,6 +146,21 @@ def init_nerf(key: jax.Array, cfg: NerfConfig) -> Dict:
         params["appearance"] = 0.1 * jax.random.normal(
             k5, (cfg.num_appearance_embeds, cfg.appearance_embed_dim)
         )
+    if cfg.use_proposal:
+        for i in range(len(cfg.num_proposal_samples)):
+            kp = jax.random.fold_in(k7, i)
+            ka, kb = jax.random.split(kp)
+            params[f"proposal_{i}"] = {
+                "grid": init_hash_grid(
+                    ka, num_levels=cfg.proposal_hash_levels,
+                    features_per_level=2,
+                    log2_hashmap_size=cfg.proposal_log2_hashmap_size,
+                    max_res=256,
+                ),
+                "density_mlp": init_mlp(
+                    kb, cfg.proposal_hash_levels * 2, 1, (16,)
+                ),
+            }
     if cfg.deformation:
         in_dim = (3 + 6 * cfg.deform_freqs) + (1 + 2 * cfg.time_freqs)
         dmlp = init_mlp(k6, in_dim, 3, (64, 64))
@@ -250,7 +272,88 @@ def render_rays(
         return _render_neus(params, bundle, key, cfg)
     if cfg.field == "instant-ngp":
         return _render_ingp(params, bundle, key, cfg, grid, appearance_idx)
+    if cfg.use_proposal:
+        return _render_proposal(params, bundle, key, cfg, times, appearance_idx)
     return _render_hierarchical(params, bundle, key, cfg, times, appearance_idx)
+
+
+def _proposal_density(params: Dict, cfg: NerfConfig, positions) -> jax.Array:
+    """Density-only proposal field (small hash grid + linear head)."""
+    x01 = jnp.clip(positions / (2 * cfg.scene_scale) + 0.5, 0.0, 1.0)
+    enc = hash_grid_encode(params["grid"], x01)
+    return jax.nn.softplus(mlp_apply(params["density_mlp"], enc) - 1.0)
+
+
+def _render_proposal(params, bundle, key, cfg, times, appearance_idx):
+    """The real nerfacto sampler: density-only proposal fields refine the
+    sample distribution before the main field runs once (ref
+    models/nerfacto.py + ProposalNetworkSampler); emits the interlevel and
+    distortion losses (ref nerfacto get_loss_dict, weights 1.0 / 0.002)."""
+    from gaussiangrasper_tpu.models import proposal as prop_mod
+
+    app = _appearance_vec(params, cfg, appearance_idx)
+    shape = bundle.origins.shape[:-1]
+
+    def edges_to_weights(level_params, edges, density_fn):
+        mids = 0.5 * (edges[..., 1:] + edges[..., :-1])
+        pos = (
+            bundle.origins[..., None, :]
+            + bundle.directions[..., None, :] * mids[..., None]
+        )
+        if cfg.deformation:
+            pos = _deform(params, cfg, pos, times)
+        dens = density_fn(level_params, pos)
+        deltas = (edges[..., 1:] - edges[..., :-1])[..., None]
+        return render_weights(dens, deltas)[..., 0], pos, mids
+
+    # stratified initial edges
+    n0 = cfg.num_proposal_samples[0]
+    t = jnp.linspace(0.0, 1.0, n0 + 1)
+    edges = jnp.broadcast_to(cfg.near + (cfg.far - cfg.near) * t, shape + (n0 + 1,))
+    key, sub = jax.random.split(key)
+    jitter = (jax.random.uniform(sub, shape + (n0 - 1,)) - 0.5) / n0
+    interior = edges[..., 1:-1] + jitter * (cfg.far - cfg.near)
+    edges = jnp.concatenate([edges[..., :1], interior, edges[..., -1:]], -1)
+
+    hists = []
+    counts = list(cfg.num_proposal_samples[1:]) + [cfg.num_fine]
+    for i, n_next in enumerate(counts):
+        w, _, _ = edges_to_weights(
+            params[f"proposal_{i}"], edges,
+            lambda p, x: _proposal_density(p, cfg, x),
+        )
+        hists.append((edges, w))
+        key, sub = jax.random.split(key)
+        t_next = sample_pdf(edges, w, n_next + 1, sub)
+        edges = jnp.sort(t_next, axis=-1)
+
+    # main field on the final intervals
+    mids = 0.5 * (edges[..., 1:] + edges[..., :-1])
+    pos = (
+        bundle.origins[..., None, :]
+        + bundle.directions[..., None, :] * mids[..., None]
+    )
+    if cfg.deformation:
+        pos = _deform(params, cfg, pos, times)
+    dirs = jnp.broadcast_to(bundle.directions[..., None, :], pos.shape)
+    dens, rgb, geo = _field(params, cfg, pos, dirs, app)
+    deltas = (edges[..., 1:] - edges[..., :-1])[..., None]
+    w = render_weights(dens, deltas)
+
+    out = {
+        "rgb": composite(w, rgb, background=jnp.zeros(3)),
+        "depth": composite(w, mids[..., None]),
+        "accumulation": jnp.sum(w, axis=-2),
+        "rgb_coarse": composite(w, rgb, background=jnp.zeros(3)),
+        "interlevel": prop_mod.interlevel_loss(hists, edges, w[..., 0])[None],
+        "distortion": prop_mod.distortion_loss(
+            edges, w[..., 0], cfg.near, cfg.far
+        )[None],
+    }
+    sem = _semantics(params, cfg, geo, w)
+    if sem is not None:
+        out["semantics"] = sem
+    return out
 
 
 def _render_hierarchical(params, bundle, key, cfg, times, appearance_idx):

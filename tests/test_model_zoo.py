@@ -303,3 +303,67 @@ class TestRegistry:
 
         with pytest.raises(SystemExit, match="diffusion"):
             METHODS["generfacto"](None)
+
+
+class TestProposal:
+    """Proposal-network sampling (the real nerfacto sampler) + its losses
+    (ref ProposalNetworkSampler, model_components/losses.py interlevel /
+    distortion)."""
+
+    def test_outer_weights_envelope(self):
+        from gaussiangrasper_tpu.models.proposal import outer_weights
+
+        t_env = jnp.array([[0.0, 1.0, 2.0, 3.0]])
+        w_env = jnp.array([[0.1, 0.6, 0.3]])
+        # query interval [0.5, 2.5] overlaps all three bins
+        t = jnp.array([[0.5, 2.5]])
+        w = outer_weights(t_env, w_env, t)
+        np.testing.assert_allclose(np.asarray(w), [[1.0]], atol=1e-6)
+        # interval inside one bin gets that bin only
+        t = jnp.array([[1.2, 1.8]])
+        np.testing.assert_allclose(
+            np.asarray(outer_weights(t_env, w_env, t)), [[0.6]], atol=1e-6
+        )
+
+    def test_interlevel_zero_when_bounded(self):
+        from gaussiangrasper_tpu.models.proposal import interlevel_loss
+
+        t = jnp.array([[0.0, 1.0, 2.0]])
+        w = jnp.array([[0.2, 0.3]])
+        hists = [(t, jnp.array([[0.5, 0.5]]))]  # envelope >= final
+        assert float(interlevel_loss(hists, t, w)) < 1e-9
+        hists = [(t, jnp.array([[0.0, 0.0]]))]  # envelope too small
+        assert float(interlevel_loss(hists, t, w)) > 1e-3
+
+    def test_distortion_prefers_concentration(self):
+        from gaussiangrasper_tpu.models.proposal import distortion_loss
+
+        t = jnp.linspace(0.0, 1.0, 9)[None]
+        concentrated = jnp.zeros((1, 8)).at[0, 3].set(1.0)
+        spread = jnp.full((1, 8), 1.0 / 8)
+        assert float(distortion_loss(t, concentrated, 0.0, 1.0)) < float(
+            distortion_loss(t, spread, 0.0, 1.0)
+        )
+
+    def test_proposal_render_and_grads(self):
+        cfg = tiny_cfg("nerfacto", use_proposal=True,
+                       num_proposal_samples=(16, 8),
+                       proposal_hash_levels=2,
+                       proposal_log2_hashmap_size=6)
+        params = init_nerf(jax.random.key(0), cfg)
+        assert "proposal_0" in params and "proposal_1" in params
+        rb = generate_rays(cam(), coords=jnp.array([[3, 4], [5, 6]]))
+        out = render_rays(params, rb, jax.random.key(0), cfg)
+        assert out["rgb"].shape == (2, 3)
+        assert float(out["interlevel"][0]) >= 0
+        assert float(out["distortion"][0]) >= 0
+
+        def loss(p):
+            o = render_rays(p, rb, jax.random.key(0), cfg)
+            return (jnp.sum(o["rgb"]) + jnp.mean(o["interlevel"])
+                    + 0.002 * jnp.mean(o["distortion"]))
+
+        g = jax.grad(loss)(params)
+        # proposal grids train through the interlevel loss
+        assert float(jnp.abs(g["proposal_0"]["grid"]["table"]).max()) > 0
+        assert float(jnp.abs(g["grid"]["table"]).max()) > 0
