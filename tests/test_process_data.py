@@ -1,0 +1,135 @@
+"""Capture ingestion (scripts/process_data.py — the ns-process-data
+analog): downscale pyramid, COLMAP->transforms.json conversion (pose
+convention proven by projection round-trip), polycam conversion."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gaussiangrasper_tpu.data import colmap_io as cio
+from gaussiangrasper_tpu.scripts.process_data import (
+    colmap_to_transforms,
+    main,
+    polycam_to_transforms,
+    process_images,
+)
+
+W, H, F = 16, 12, 20.0
+
+
+def _png(path, w=W, h=H):
+    from PIL import Image
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(path)
+
+
+def _colmap_model(root: Path, n=2):
+    recon = root / "sparse" / "0"
+    recon.mkdir(parents=True)
+    cams = {1: cio.ColmapCamera("PINHOLE", W, H,
+                                np.array([F, F, W / 2, H / 2]))}
+    cio.write_cameras_text(recon / "cameras.txt", cams)
+    rng = np.random.default_rng(0)
+    images = {}
+    for i in range(n):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        images[i + 1] = cio.ColmapImage(
+            qvec=q, tvec=rng.normal(size=3) * 0.1,
+            camera_id=1, name=f"im{i}.png",
+        )
+    cio.write_images_text(recon / "images.txt", images)
+    cio.write_points3d_text(recon / "points3D.txt",
+                            rng.normal(size=(5, 3)),
+                            np.zeros((5, 3), np.uint8))
+    return images
+
+
+class TestImages:
+    def test_copy_downscale_and_convert(self, tmp_path):
+        data = tmp_path / "cap"
+        for i in range(2):
+            _png(data / f"im{i}.png")
+        _colmap_model(data)
+        out = tmp_path / "out"
+        main(["images", "--data", str(data), "--output", str(out)])
+        assert (out / "images" / "im0.png").exists()
+        for d in (2, 4, 8):
+            assert (out / f"images_{d}" / "im0.png").exists()
+        meta = json.loads((out / "transforms.json").read_text())
+        assert len(meta["frames"]) == 2
+        assert meta["fl_x"] == F
+
+    def test_pose_convention_projection_round_trip(self, tmp_path):
+        """A world point projects to the same pixel under the original
+        COLMAP (OpenCV, w2c) pose and the converted OpenGL c2w pose in the
+        permuted world frame (applied_transform)."""
+        data = tmp_path / "cap"
+        _png(data / "im0.png")
+        images = _colmap_model(data, n=1)
+        out = tmp_path / "out"
+        out.mkdir()
+        colmap_to_transforms(data / "sparse" / "0", out)
+        meta = json.loads((out / "transforms.json").read_text())
+
+        im = images[1]
+        r = cio.qvec_to_rotmat(im.qvec)
+        x_w = np.array([0.2, -0.1, 1.5])
+        x_cam_cv = r @ x_w + im.tvec                  # OpenCV camera frame
+        px_cv = F * x_cam_cv[0] / x_cam_cv[2] + W / 2
+        py_cv = F * x_cam_cv[1] / x_cam_cv[2] + H / 2
+
+        a = np.array(meta["applied_transform"])       # (3, 4) world map
+        x_w2 = a[:, :3] @ x_w + a[:, 3]
+        c2w = np.array(meta["frames"][0]["transform_matrix"])
+        w2c = np.linalg.inv(c2w)
+        x_gl = w2c[:3, :3] @ x_w2 + w2c[:3, 3]        # OpenGL camera frame
+        z = -x_gl[2]
+        px_gl = F * x_gl[0] / z + W / 2
+        py_gl = -F * x_gl[1] / z + H / 2
+        np.testing.assert_allclose([px_gl, py_gl], [px_cv, py_cv], atol=1e-6)
+
+
+class TestPolycam:
+    def _keyframes(self, root: Path):
+        imgs = root / "keyframes" / "corrected_images"
+        cams = root / "keyframes" / "corrected_cameras"
+        cams.mkdir(parents=True)
+        for i, blur in enumerate((100.0, 5.0)):  # second frame too blurry
+            _png(imgs / f"{i}.jpg", 40, 30)
+            cam = {
+                "fx": 20.0, "fy": 20.0, "cx": 20.0, "cy": 15.0,
+                "width": 40, "height": 30, "blur_score": blur,
+            }
+            for rname, row in zip("012", np.eye(4)[:3]):
+                for cname, v in zip("0123", row):
+                    cam[f"t_{rname}{cname}"] = float(v)
+            (cams / f"{i}.json").write_text(json.dumps(cam))
+        return root
+
+    def test_blur_filter_and_row_order(self, tmp_path):
+        data = self._keyframes(tmp_path)
+        out = tmp_path / "out"
+        main(["polycam", "--data", str(data), "--output", str(out),
+              "--crop-border-pixels", "2"])
+        meta = json.loads((out / "transforms.json").read_text())
+        assert len(meta["frames"]) == 1  # blurry frame skipped
+        f = meta["frames"][0]
+        assert f["w"] == 36 and f["cx"] == 18.0
+        # identity t_ij -> rows permuted [2, 0, 1]
+        m = np.array(f["transform_matrix"])
+        np.testing.assert_allclose(
+            m[:3, :3], np.eye(3)[[2, 0, 1]], atol=1e-9
+        )
+        assert (out / "images" / "0.jpg").exists()
+
+    def test_video_gated_without_ffmpeg(self, tmp_path, monkeypatch):
+        import shutil as sh
+
+        monkeypatch.setattr(sh, "which", lambda name: None)
+        with pytest.raises(SystemExit, match="ffmpeg"):
+            main(["video", "--data", str(tmp_path / "v.mp4"),
+                  "--output", str(tmp_path / "o")])
