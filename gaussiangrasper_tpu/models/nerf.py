@@ -92,7 +92,12 @@ class NerfConfig:
 
 
 def _geo_dim(cfg: NerfConfig) -> int:
-    return cfg.hidden if cfg.field == "vanilla" else 15
+    """Width of the geometry features each field hands to extra heads."""
+    if cfg.field in ("vanilla", "mipnerf"):
+        return cfg.hidden
+    if cfg.field in ("nerfacto", "instant-ngp"):
+        return 15
+    return 0  # tensorf / sdf fields expose no shared geo features
 
 
 def init_nerf(key: jax.Array, cfg: NerfConfig) -> Dict:
@@ -139,6 +144,12 @@ def init_nerf(key: jax.Array, cfg: NerfConfig) -> Dict:
         raise ValueError(f"unknown field {cfg.field!r}")
 
     if cfg.num_semantic_classes:
+        if _geo_dim(cfg) == 0:
+            raise ValueError(
+                f"field {cfg.field!r} exposes no geometry features; the "
+                "semantic head (semantic-nerfw) needs a vanilla/mipnerf/"
+                "nerfacto/instant-ngp field"
+            )
         params["semantic_mlp"] = init_mlp(
             k4, _geo_dim(cfg), cfg.num_semantic_classes, (64,)
         )

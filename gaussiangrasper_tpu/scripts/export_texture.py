@@ -58,10 +58,11 @@ def face_texels(
     lin = np.arange(cell_px * cell_px)
     lx = (lin % cell_px).astype(np.float64)   # texel offsets in the cell
     ly = (lin // cell_px).astype(np.float64)
-    # barycentric coords of the chart's right triangle: v0 at (0,0),
-    # v1 at (cell-1,0), v2 at (0,cell-1)
-    b1 = lx / (cell_px - 1)
-    b2 = ly / (cell_px - 1)
+    # barycentric coords of the chart's right triangle. The UV corners sit
+    # at texel CENTERS 0 and cell_px-2 (half-texel inset on both sides,
+    # see unwrap_per_triangle), so b=1 must land on texel cell_px-2.
+    b1 = lx / (cell_px - 2)
+    b2 = ly / (cell_px - 2)
     inside = b1 + b2 <= 1.0 + 1e-9
     b0 = 1.0 - b1 - b2
 

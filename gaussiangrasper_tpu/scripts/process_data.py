@@ -101,9 +101,10 @@ def process_images(data: Path, output: Path, skip_downscale: bool = False) -> No
     output.mkdir(parents=True, exist_ok=True)
     img_out = output / "images"
     img_out.mkdir(exist_ok=True)
-    for f in sorted(Path(data).iterdir()):
-        if f.suffix.lower() in (".png", ".jpg", ".jpeg"):
-            shutil.copy2(f, img_out / f.name)
+    if Path(data).resolve() != img_out.resolve():
+        for f in sorted(Path(data).iterdir()):
+            if f.suffix.lower() in (".png", ".jpg", ".jpeg"):
+                shutil.copy2(f, img_out / f.name)
     if not skip_downscale:
         _downscale(img_out)
     # convert an existing reconstruction; else hint at COLMAP
@@ -119,9 +120,20 @@ def process_images(data: Path, output: Path, skip_downscale: bool = False) -> No
             "images were copied + downscaled. Provide a sparse model or use "
             "scripts/generate_data.py for RGB-D captures."
         )
+    else:
+        print(
+            "no COLMAP reconstruction found — images were copied + "
+            "downscaled WITHOUT poses. Run "
+            f"`colmap automatic_reconstructor --workspace_path {output} "
+            f"--image_path {output / 'images'}` and re-run this command "
+            "to convert the model to transforms.json."
+        )
 
 
 def process_video(data: Path, output: Path, num_frames: int = 300) -> None:
+    """Extract ~num_frames equally-spaced frames (the reference's
+    convert_video_to_images: spacing = total // num_frames,
+    process_data_utils.py)."""
     if shutil.which("ffmpeg") is None:
         raise SystemExit(
             "`ffmpeg` is not available in this image; extract frames "
@@ -130,11 +142,21 @@ def process_video(data: Path, output: Path, num_frames: int = 300) -> None:
     output.mkdir(parents=True, exist_ok=True)
     img_out = output / "images"
     img_out.mkdir(exist_ok=True)
+    # extract every frame, then prune to num_frames equally spaced —
+    # robust to containers where ffprobe cannot report a frame count
     subprocess.run(
-        ["ffmpeg", "-i", str(data), "-vf", f"thumbnail={num_frames}",
-         "-vsync", "vfr", str(img_out / "frame_%05d.png")],
+        ["ffmpeg", "-i", str(data), "-vsync", "vfr",
+         str(img_out / "frame_%05d.png")],
         check=True,
     )
+    frames = sorted(img_out.glob("frame_*.png"))
+    if len(frames) > num_frames:
+        keep = set(
+            np.linspace(0, len(frames) - 1, num_frames).astype(int).tolist()
+        )
+        for i, f in enumerate(frames):
+            if i not in keep:
+                f.unlink()
     process_images(img_out, output, skip_downscale=False)
 
 
