@@ -36,19 +36,43 @@ class RaySamples(NamedTuple):
 
 
 def generate_rays(
-    camera: Camera, coords: Optional[jax.Array] = None
+    camera: Camera,
+    coords: Optional[jax.Array] = None,
+    camera_type: str = "perspective",
 ) -> RayBundle:
     """Rays through pixel centers. coords: (..., 2) integer (row, col);
     default = the full image grid. OpenGL convention: camera looks down
-    -z, y up (matches the reference's directions stack at cameras.py:748)."""
+    -z, y up (matches the reference's directions stack at cameras.py:748).
+
+    camera_type mirrors the reference's CameraType ray branches
+    (cameras.py:501-880): "perspective", "fisheye" (equidistant: the
+    normalized-plane radius is the angle from the optical axis), or
+    "equirectangular" (pixel grid = (longitude, latitude))."""
     if coords is None:
         ys, xs = jnp.mgrid[0 : camera.height, 0 : camera.width]
         coords = jnp.stack([ys, xs], axis=-1)
     y = coords[..., 0].astype(jnp.float32) + 0.5
     x = coords[..., 1].astype(jnp.float32) + 0.5
-    dx = (x - camera.cx) / camera.fx
-    dy = -(y - camera.cy) / camera.fy
-    dirs_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
+    if camera_type == "equirectangular":
+        # longitude in [-pi, pi], latitude in [-pi/2, pi/2] over the image
+        lon = (x / camera.width - 0.5) * (2.0 * jnp.pi)
+        lat = -(y / camera.height - 0.5) * jnp.pi
+        dirs_cam = jnp.stack(
+            [jnp.cos(lat) * jnp.sin(lon), jnp.sin(lat),
+             -jnp.cos(lat) * jnp.cos(lon)], axis=-1,
+        )
+    else:
+        dx = (x - camera.cx) / camera.fx
+        dy = -(y - camera.cy) / camera.fy
+        if camera_type == "fisheye":
+            theta = jnp.sqrt(dx * dx + dy * dy)  # angle from optical axis
+            theta = jnp.clip(theta, 1e-9, jnp.pi)
+            sin_over_r = jnp.sin(theta) / theta
+            dirs_cam = jnp.stack(
+                [dx * sin_over_r, dy * sin_over_r, -jnp.cos(theta)], axis=-1,
+            )
+        else:
+            dirs_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
     r = camera.camera_to_world[:3, :3]
     dirs = dirs_cam @ r.T
     norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)

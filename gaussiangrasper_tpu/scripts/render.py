@@ -114,6 +114,14 @@ def main(argv=None) -> None:
             "psnr": float(losses.psnr(jnp.asarray(rgb), jnp.asarray(gt))),
             "ssim": float(losses.ssim(jnp.asarray(rgb), jnp.asarray(gt))),
         }
+        # lpips is weight-gated (utils/perceptual.py): present only when a
+        # VGG backbone is cached locally (the reference's torchmetrics
+        # LPIPS needs the same download)
+        from gaussiangrasper_tpu.utils import perceptual
+
+        lp = perceptual.lpips(rgb, gt)
+        if lp is not None:
+            row["lpips"] = lp
         # supervision-channel metrics when gt exists (the reference's
         # depth/normal/feasim eval panel, gaussian_splatting.py:1032-1042)
         gt_depth = np.asarray(batch["depth"])

@@ -70,13 +70,15 @@ def main():
 
     n, w, h, f = (20000, 256, 256, 8) if args.small else (200000, 800, 800, 32)
     grids = [
-        {"tile_chunk": 64, "max_gaussians_per_tile": 1024},
-        {"tile_chunk": 128, "max_gaussians_per_tile": 1024},
-        {"tile_chunk": 256, "max_gaussians_per_tile": 1024},
-        {"tile_chunk": 64, "max_gaussians_per_tile": 512},
-        {"tile_chunk": 128, "max_gaussians_per_tile": 512},
-        {"tile_chunk": 64, "max_gaussians_per_tile": 2048},
-        {"tile_chunk": 64, "max_gaussians_per_tile": 1024, "tile_size": 32,
+        # the work-proportional backend favors small chunks (early exit
+        # sharpness) — 8 is the measured v5e sweet spot
+        {"tile_chunk": 4, "max_gaussians_per_tile": 1024},
+        {"tile_chunk": 8, "max_gaussians_per_tile": 1024},
+        {"tile_chunk": 16, "max_gaussians_per_tile": 1024},
+        {"tile_chunk": 32, "max_gaussians_per_tile": 1024},
+        {"tile_chunk": 8, "max_gaussians_per_tile": 512},
+        {"tile_chunk": 8, "max_gaussians_per_tile": 2048},
+        {"tile_chunk": 8, "max_gaussians_per_tile": 1024, "tile_size": 32,
          "max_tiles_per_gaussian": 16},
     ]
     for kw in grids:

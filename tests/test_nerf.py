@@ -134,3 +134,44 @@ class TestOccupancy:
         # masked densities zero out empty space
         d = masked_densities(grid, pts, jnp.ones((2, 1)))
         np.testing.assert_allclose(np.asarray(d[:, 0]), [0.0, 0.0])
+
+
+class TestCameraTypeRays:
+    """Fisheye + equirectangular ray generation (the reference's
+    CameraType branches, cameras.py:501-880)."""
+
+    def test_fisheye_center_matches_perspective(self):
+        c = cam()
+        center = jnp.array([[6, 8]])  # pixel at the principal point
+        a = generate_rays(c, coords=center, camera_type="perspective")
+        b = generate_rays(c, coords=center, camera_type="fisheye")
+        np.testing.assert_allclose(
+            np.asarray(a.directions), np.asarray(b.directions), atol=1e-4
+        )
+
+    def test_fisheye_90deg_ray(self):
+        """A pixel whose normalized-plane radius equals pi/2 maps to a ray
+        orthogonal to the optical axis (equidistant model)."""
+        c = Camera.create(10.0, 10.0, 8.0, 6.0, jnp.eye(4)[:3], 16, 12)
+        # dx = pi/2 at x = cx + fx*pi/2 - 0.5
+        x = 8.0 + 10.0 * np.pi / 2 - 0.5
+        rb = generate_rays(c, coords=jnp.array([[5.5, x]]),
+                           camera_type="fisheye")
+        d = np.asarray(rb.directions[0])
+        assert abs(d[2]) < 1e-4 and d[0] > 0.99
+
+    def test_equirect_covers_sphere(self):
+        c = Camera.create(1.0, 1.0, 8.0, 6.0, jnp.eye(4)[:3], 16, 12)
+        rb = generate_rays(c, camera_type="equirectangular")
+        d = np.asarray(rb.directions).reshape(-1, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+        # both hemispheres reached in every axis
+        assert d[:, 0].min() < -0.8 and d[:, 0].max() > 0.8
+        assert d[:, 1].min() < -0.8 and d[:, 1].max() > 0.8
+        assert d[:, 2].min() < -0.8 and d[:, 2].max() > 0.8
+        # image center looks down -z (the forward direction)
+        mid = np.asarray(
+            generate_rays(c, coords=jnp.array([[6, 8]]),
+                          camera_type="equirectangular").directions[0]
+        )
+        assert mid[2] < -0.95

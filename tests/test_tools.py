@@ -131,3 +131,18 @@ class TestICP:
         est = icp_refine(src, dst, iterations=30)
         aligned = src @ est[:3, :3].T + est[:3, 3]
         assert np.abs(aligned - dst).mean() < 5e-3
+
+
+def test_lpips_gated_cleanly():
+    """LPIPS needs pretrained weights (absent in this zero-egress image):
+    the metric must report unavailable and return None, not crash."""
+    import numpy as np
+
+    from gaussiangrasper_tpu.utils import perceptual
+
+    a = np.zeros((8, 8, 3), np.float32)
+    if perceptual.lpips_available():
+        d = perceptual.lpips(a, a)
+        assert d is not None and d < 1e-6
+    else:
+        assert perceptual.lpips(a, a) is None
