@@ -406,6 +406,253 @@ class ARKitScenesParser:
         )
 
 
+@dataclass
+class DycheckParser:
+    """DyCheck iphone-subset bundles (ref dycheck_dataparser.py:199-341):
+    scene.json (center/scale/near/far), splits/{split}.json (frame_names +
+    time_ids), per-frame camera/{frame}.json (row-major `orientation`
+    transposed to c2w, position centered by scene center and scaled),
+    images at rgb/{d}x/, depths at depth/{d}x/. The reference's OpenCV->
+    OpenGL + world-axis shuffles (ref :297-302) are reproduced exactly;
+    times are normalized by the dataset's max warp id (ref :312)."""
+
+    data: Path
+    split: str = "train"
+    downscale_factor: int = 1
+    scene_box_bound: float = 1.5
+
+    def parse(self) -> DataparserOutputs:
+        data = Path(self.data)
+        scene = json.loads((data / "scene.json").read_text())
+        center = np.asarray(scene["center"], np.float32)
+        scene_scale = float(scene["scale"])
+        far = float(scene["far"])
+        metadata_all = json.loads((data / "metadata.json").read_text())
+        max_time = max(
+            (int(v["warp_id"]) for v in metadata_all.values()), default=1
+        ) or 1
+
+        split_file = data / "splits" / f"{self.split}.json"
+        if not split_file.exists():
+            split_file = data / "splits" / "train.json"
+        split_dict = json.loads(split_file.read_text())
+        frame_names = list(split_dict["frame_names"])
+        time_ids = list(split_dict["time_ids"])
+
+        # scale the scene to fill the aabb (ref :229-231)
+        sf = self.scene_box_bound / 4.0 / (scene_scale * far)
+        d = self.downscale_factor
+
+        names, depths, parsed, times = [], [], [], []
+        for frame, t in zip(frame_names, time_ids):
+            cam = json.loads((data / "camera" / f"{frame}.json").read_text())
+            c2w = np.asarray(cam["orientation"], np.float64).T
+            position = np.asarray(cam["position"], np.float64) - center
+            position *= scene_scale * sf
+            pose = np.zeros((3, 4))
+            pose[:3, :3] = c2w
+            pose[:3, 3] = position
+            pose[0:3, 1:3] *= -1      # OpenCV -> OpenGL cam axes
+            pose = pose[[1, 0, 2], :]  # switch world x,y
+            pose[2, :] *= -1           # invert world z
+            pose = pose[[1, 2, 0], :]  # world xyz -> zxy (aabb usage)
+            fl = float(cam["focal_length"])
+            names.append(data / f"rgb/{d}x/{frame}.png")
+            depths.append(data / f"depth/{d}x/{frame}.npy")
+            times.append(float(t) / max_time)
+            parsed.append(
+                ParsedCamera(
+                    fx=fl / d,
+                    fy=fl * float(cam.get("pixel_aspect_ratio", 1.0)) / d,
+                    cx=float(cam["principal_point"][0]) / d,
+                    cy=float(cam["principal_point"][1]) / d,
+                    width=int(cam["image_size"][0]) // d,
+                    height=int(cam["image_size"][1]) // d,
+                    camera_to_world=pose.astype(np.float32),
+                )
+            )
+        scale = scene_scale * sf
+        return DataparserOutputs(
+            image_filenames=names,
+            cameras=parsed,
+            dataparser_scale=scale,
+            dataparser_transform=np.eye(4, dtype=np.float32)[:3],
+            metadata={
+                "depth_filenames": depths,
+                "depth_unit_scale_factor": scale,
+                "times": times,
+                "near": float(scene["near"]) * scale,
+                "far": far * scale,
+                "aabb": [[-self.scene_box_bound] * 3,
+                         [self.scene_box_bound] * 3],
+            },
+        )
+
+
+@dataclass
+class Sitcoms3DParser:
+    """sitcoms3D bundles (ref sitcoms3d_dataparser.py:64-153): cameras.json
+    with per-frame 3x3 intrinsics + 4x4 camtoworld and a scene bbox; world
+    rotated 90 deg about x (z-up), box centered, longest bbox edge scaled
+    to scene_scale; images under images{_d}/; optional thing-segmentation
+    filenames."""
+
+    data: Path
+    split: str = "train"
+    downscale_factor: int = 4
+    scene_scale: float = 2.0
+    include_semantics: bool = False
+
+    def parse(self) -> DataparserOutputs:
+        data = Path(self.data)
+        meta = json.loads((data / "cameras.json").read_text())
+        frames = meta["frames"]
+        bbox = np.asarray(meta["bbox"], np.float64)
+
+        suffix = f"_{self.downscale_factor}" if self.downscale_factor != 1 else ""
+        images_folder = f"images{suffix}"
+
+        rotation = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float64)
+        bbox = (rotation @ bbox.T).T
+        center = (bbox[0] + bbox[1]) / 2.0
+        lengths = bbox[1] - bbox[0]
+        scale = self.scene_scale / float(np.max(lengths))
+        aabb = (bbox - center) * scale
+
+        names, parsed = [], []
+        d = float(self.downscale_factor)
+        for frame in frames:
+            intr = np.asarray(frame["intrinsics"], np.float64)
+            c2w = np.asarray(frame["camtoworld"], np.float64)[:3]
+            c2w[:3, :3] = rotation @ c2w[:3, :3]
+            c2w[:3, 3] = rotation @ c2w[:3, 3]
+            c2w[:, 3] = (c2w[:, 3] - center) * scale
+            names.append(data / images_folder / frame["image_name"])
+            parsed.append(
+                ParsedCamera(
+                    fx=float(intr[0, 0]) / d, fy=float(intr[1, 1]) / d,
+                    cx=float(intr[0, 2]) / d, cy=float(intr[1, 2]) / d,
+                    width=int(round(frame["width"] / d)) if "width" in frame
+                    else int(round(2.0 * intr[0, 2] / d)),
+                    height=int(round(frame["height"] / d)) if "height" in frame
+                    else int(round(2.0 * intr[1, 2] / d)),
+                    camera_to_world=c2w.astype(np.float32),
+                )
+            )
+        meta_out = {"aabb": aabb.tolist()}
+        if self.include_semantics:
+            meta_out["semantic_filenames"] = [
+                data / f"segmentations{suffix}" / "thing"
+                / Path(frame["image_name"]).with_suffix(".png").name
+                for frame in frames
+            ]
+        return DataparserOutputs(
+            image_filenames=names,
+            cameras=parsed,
+            dataparser_scale=scale,
+            dataparser_transform=np.concatenate(
+                [rotation, (rotation @ -center[:, None])], axis=1
+            ).astype(np.float32) * np.float32(scale),
+            metadata=meta_out,
+        )
+
+
+@dataclass
+class NerfosrParser:
+    """NeRF-OSR sessions (ref nerfosr_dataparser.py:155-232): per-split
+    intrinsics/*.txt + pose/*.txt (whitespace 4x4 matrices, OpenCV c2w
+    converted to OpenGL), rgb/ images, optional mask/; ALL splits are
+    oriented/centered/scaled together (focus centering + auto scale) so
+    train/val/test share one world frame, then sliced by split."""
+
+    data: Path
+    split: str = "train"
+    scene: str = ""
+    """Scene subdirectory; empty = `data` already points at the scene's
+    final/ directory."""
+    scale_factor: float = 1.0
+    use_masks: bool = False
+
+    @staticmethod
+    def _read_mat(path: Path) -> np.ndarray:
+        return np.array(
+            [float(x) for x in path.read_text().split()], np.float64
+        ).reshape(4, 4)
+
+    @classmethod
+    def _split_params(cls, scene_dir: Path, split: str):
+        intr_files = sorted((scene_dir / split / "intrinsics").glob("*.txt"))
+        pose_files = sorted((scene_dir / split / "pose").glob("*.txt"))
+        intr, poses = [], []
+        for i_f, p_f in zip(intr_files, pose_files):
+            intr.append(cls._read_mat(i_f))
+            pose = cls._read_mat(p_f)
+            pose[0:3, 1:3] *= -1  # OpenCV -> OpenGL
+            poses.append(pose[:3])
+        return intr, poses
+
+    @staticmethod
+    def _images(scene_dir: Path, split: str, sub: str):
+        out = []
+        for ext in ("*.png", "*.jpg", "*.JPG", "*.PNG"):
+            out.extend((scene_dir / split / sub).glob(ext))
+        return sorted(out)
+
+    def parse(self) -> DataparserOutputs:
+        data = Path(self.data)
+        if self.scene:
+            sub = "final_clean" if self.scene == "trevi" else "final"
+            scene_dir = data / self.scene / sub
+        else:
+            scene_dir = data
+        split = "validation" if self.split == "val" else self.split
+
+        per_split = {s: self._split_params(scene_dir, s)
+                     for s in ("train", "validation", "test")}
+        counts = {s: len(per_split[s][1]) for s in per_split}
+        all_poses = np.stack(
+            [p for s in ("train", "validation", "test") for p in per_split[s][1]]
+        )
+        all_poses, transform = auto_orient_and_center_poses(
+            all_poses, method="up", center_method="focus"
+        )
+        scale = 1.0 / (float(np.max(np.abs(all_poses[:, :3, 3]))) or 1.0)
+        all_poses[:, :3, 3] *= scale * self.scale_factor
+
+        start = {"train": 0,
+                 "validation": counts["train"],
+                 "test": counts["train"] + counts["validation"]}[split]
+        n = counts[split]
+        intr = per_split[split][0]
+        names = self._images(scene_dir, split, "rgb")
+
+        parsed = []
+        from PIL import Image
+
+        w = h = None
+        for i in range(n):
+            if w is None and names:
+                with Image.open(names[0]) as im:
+                    w, h = im.size
+            parsed.append(
+                ParsedCamera(
+                    fx=float(intr[i][0, 0]), fy=float(intr[i][1, 1]),
+                    cx=float(intr[i][0, 2]), cy=float(intr[i][1, 2]),
+                    width=int(w or round(2 * intr[i][0, 2])),
+                    height=int(h or round(2 * intr[i][1, 2])),
+                    camera_to_world=all_poses[start + i].astype(np.float32),
+                )
+            )
+        masks = self._images(scene_dir, split, "mask") if self.use_masks else None
+        return DataparserOutputs(
+            image_filenames=names,
+            cameras=parsed,
+            dataparser_scale=scale * self.scale_factor,
+            dataparser_transform=transform.astype(np.float32),
+            mask_filenames=masks or None,
+        )
+
+
 def _stub(name: str, needs: str):
     @dataclass
     class Stub:
@@ -442,9 +689,9 @@ PARSERS: Dict[str, Callable] = {
     # (phototourism_dataparser.py) — ours does too
     "phototourism": ColmapDataParser,
     "nuscenes": _stub("nuscenes", "the nuScenes devkit"),
-    "dycheck": _stub("dycheck", "dycheck dataset bundles"),
-    "sitcoms3d": _stub("sitcoms3d", "sitcoms3D dataset bundles"),
-    "nerfosr": _stub("nerfosr", "NeRF-OSR session layouts"),
+    "dycheck": DycheckParser,
+    "sitcoms3d": Sitcoms3DParser,
+    "nerfosr": NerfosrParser,
     "phototourism-raw": _stub("phototourism-raw", "image downloads"),
 }
 
@@ -460,6 +707,10 @@ def resolve_parser(data: Path, name: str = "auto"):
         return PARSERS[name](data)
     if (data / "meta_data.json").exists():
         return SdfstudioParser(data)
+    if (data / "scene.json").exists() and (data / "splits").exists():
+        return DycheckParser(data)
+    if (data / "cameras.json").exists():
+        return Sitcoms3DParser(data)
     if (data / "intrinsic" / "intrinsic_color.txt").exists():
         return ScannetParser(data)
     if (data / f"{data.name}_frames").exists():

@@ -245,6 +245,7 @@ def train_loss(
         "psnr": losses.psnr(rgb, gt_img, valid),
         "radii": outs["proj"].radii,
         "overflow": outs["bins"].overflow,
+        "dropped_tiles": outs["bins"].dropped_tiles,
         "alpha": outs["alpha"],
     }
     return total, aux

@@ -91,6 +91,10 @@ class TileBins(NamedTuple):
     tile_count: jax.Array   # (T,) int32 number of valid entries (pre-clamp)
     num_tiles_hit: jax.Array  # (N,) int32 tiles covered per Gaussian
     overflow: jax.Array     # () int32 total entries dropped by K clamp
+    dropped_tiles: jax.Array  # () int32 covered tiles dropped by the
+    # max_tiles_per_gaussian cap (row-major truncation of oversized splats;
+    # nonzero means some tiles rendered without every Gaussian that covers
+    # them — surfaced in train metrics alongside `overflow`)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
@@ -165,6 +169,7 @@ def bin_gaussians(
     tile_gidx = jnp.where(in_seg, sorted_payload[pos], -1)
 
     overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
+    dropped_tiles = jnp.sum(span - count)
     # Report the number of binned tiles per Gaussian (post-MT-cap), in the
     # original (unsorted) index order.
     num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(count.astype(jnp.int32))
@@ -173,6 +178,7 @@ def bin_gaussians(
         tile_count=tile_count,
         num_tiles_hit=num_tiles_hit,
         overflow=overflow,
+        dropped_tiles=dropped_tiles,
     )
 
 

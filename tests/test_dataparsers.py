@@ -189,6 +189,118 @@ class TestARKitScenes:
         )
 
 
+class TestDycheck:
+    def _make(self, tmp_path):
+        (tmp_path / "scene.json").write_text(json.dumps(
+            {"center": [0.1, 0.2, 0.3], "scale": 2.0, "near": 0.1, "far": 4.0}
+        ))
+        (tmp_path / "metadata.json").write_text(json.dumps({
+            "0_00000": {"warp_id": 0, "camera_id": 0},
+            "0_00001": {"warp_id": 4, "camera_id": 0},
+        }))
+        (tmp_path / "splits").mkdir()
+        (tmp_path / "splits" / "train.json").write_text(json.dumps(
+            {"frame_names": ["0_00000", "0_00001"], "time_ids": [0, 4]}
+        ))
+        (tmp_path / "camera").mkdir()
+        for name in ("0_00000", "0_00001"):
+            (tmp_path / "camera" / f"{name}.json").write_text(json.dumps({
+                "orientation": np.eye(3).tolist(),
+                "position": [1.1, 0.2, 0.3],
+                "focal_length": 50.0,
+                "pixel_aspect_ratio": 1.0,
+                "principal_point": [4.0, 3.0],
+                "image_size": [W, H],
+            }))
+        for name in ("0_00000", "0_00001"):
+            _png(tmp_path / "rgb" / "1x" / f"{name}.png")
+        return tmp_path
+
+    def test_scene_scaling_and_times(self, tmp_path):
+        data = self._make(tmp_path)
+        out = PARSERS["dycheck"](data).parse()
+        assert len(out.cameras) == 2
+        cam = out.cameras[0]
+        assert cam.fx == 50.0 and cam.width == W
+        # position (1,0,0) after centering, scaled by scale*sf =
+        # 2 * (1.5/4/(2*4)) = 2*0.046875 = 0.09375, world xyz shuffled.
+        sf = 1.5 / 4.0 / (2.0 * 4.0)
+        pos = cam.camera_to_world[:, 3]
+        np.testing.assert_allclose(
+            np.sort(np.abs(pos)), [0, 0, 2.0 * sf], atol=1e-6
+        )
+        assert out.metadata["times"] == [0.0, 1.0]
+        assert out.metadata["far"] == pytest.approx(4.0 * 2.0 * sf)
+        # detection: scene.json + splits/ routes to dycheck
+        assert type(resolve_parser(data)).__name__ == "DycheckParser"
+
+
+class TestSitcoms3D:
+    def test_bbox_scaling_and_rotation(self, tmp_path):
+        intr = np.eye(3)
+        intr[0, 0] = intr[1, 1] = 100.0
+        intr[0, 2], intr[1, 2] = 4.0, 3.0
+        meta = {
+            "bbox": [[-2, -1, -1], [2, 1, 1]],  # longest edge 4 along x
+            "frames": [{
+                "image_name": "f0.jpg",
+                "intrinsics": intr.tolist(),
+                "camtoworld": np.eye(4).tolist(),
+                "width": W, "height": H,
+            }],
+        }
+        (tmp_path / "cameras.json").write_text(json.dumps(meta))
+        _png(tmp_path / "images_4" / "f0.jpg")
+        out = PARSERS["sitcoms3d"](tmp_path).parse()
+        cam = out.cameras[0]
+        # downscale 4: intrinsics quartered
+        assert cam.fx == 25.0 and cam.width == W // 4
+        # longest bbox edge (4) scaled to scene_scale (2) -> scale 0.5
+        assert out.dataparser_scale == pytest.approx(0.5)
+        aabb = np.asarray(out.metadata["aabb"])
+        assert np.max(aabb[1] - aabb[0]) == pytest.approx(2.0)
+        # identity pose rotated 90deg about x: cam y axis -> world z
+        np.testing.assert_allclose(
+            cam.camera_to_world[:3, 1], [0, 0, 1], atol=1e-6
+        )
+        assert type(resolve_parser(tmp_path)).__name__ == "Sitcoms3DParser"
+
+
+class TestNerfosr:
+    def _make(self, tmp_path):
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 60.0
+        K[0, 2], K[1, 2] = 4.0, 3.0
+        rng = np.random.default_rng(0)
+        for split, n in (("train", 3), ("validation", 1), ("test", 1)):
+            for d in ("intrinsics", "pose", "rgb"):
+                (tmp_path / split / d).mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                np.savetxt(tmp_path / split / "intrinsics" / f"{i:02d}.txt",
+                           K.reshape(1, -1))
+                pose = np.eye(4)
+                pose[:3, 3] = rng.normal(size=3)
+                np.savetxt(tmp_path / split / "pose" / f"{i:02d}.txt",
+                           pose.reshape(1, -1))
+                _png(tmp_path / split / "rgb" / f"{i:02d}.png")
+        return tmp_path
+
+    def test_split_slicing_and_scale(self, tmp_path):
+        data = self._make(tmp_path)
+        out_train = PARSERS["nerfosr"](data, split="train").parse()
+        out_val = PARSERS["nerfosr"](data, split="val").parse()
+        assert len(out_train.cameras) == 3
+        assert len(out_val.cameras) == 1
+        assert out_train.cameras[0].fx == 60.0
+        # every pose from every split fits in the +-1 box after auto scale
+        for out in (out_train, out_val):
+            for cam in out.cameras:
+                assert np.max(np.abs(cam.camera_to_world[:, 3])) <= 1.0 + 1e-5
+        # OpenCV -> OpenGL flip applied
+        r = out_train.cameras[0].camera_to_world[:3, :3]
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
+
+
 class TestCliFlag:
     def test_train_accepts_dataparser_flag(self, tmp_path):
         """--dataparser blender routes to the blender layout."""
