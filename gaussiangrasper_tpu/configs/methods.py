@@ -36,6 +36,7 @@ def _gaussian_splatting(args) -> None:
         seed=args.seed,
         capacity=args.capacity,
         tensorboard=args.tensorboard,
+        vis=getattr(args, "vis", ""),
         viewer_port=getattr(args, "viewer_port", None),
         load_dir=args.load_dir,
         dataparser=getattr(args, "dataparser", "auto"),

@@ -34,7 +34,8 @@ class GroupConfig:
 
 
 # Parameter-group table (ref method_configs.py:617-664 + trainer.py:611
-# gradient_accumulation_steps={"xyz":10,"color":10,"shs":10,"feature":10}).
+# gradient_accumulation_steps={"camera_opt":100,"xyz":10,"color":10,
+# "shs":10,"feature":10}).
 DEFAULT_GROUPS: Dict[str, GroupConfig] = {
     "xyz": GroupConfig(1.6e-4, 1.6e-6, accum=10),
     "color": GroupConfig(5e-4, 1e-4, accum=10),
@@ -43,6 +44,9 @@ DEFAULT_GROUPS: Dict[str, GroupConfig] = {
     "scaling": GroupConfig(5e-3, 1e-3),
     "rotation": GroupConfig(1e-3),
     "up_net": GroupConfig(1e-3, 5e-5),
+    # learned camera-pose deltas (ref method_configs.py:612 + :660-664:
+    # Adam 6e-4 -> 6e-5 over 30k with accumulation 100)
+    "camera_opt": GroupConfig(6e-4, 6e-5, accum=100),
 }
 
 # Which model-state leaf belongs to which group. 'field' refers to
@@ -117,11 +121,14 @@ class GroupOptState(NamedTuple):
 
 
 def to_groups(state: Dict[str, Any]) -> Dict[str, Any]:
-    """Split model state {'field': GaussianParams, 'fea_up': mlp} into the
-    reference's named parameter groups."""
+    """Split model state {'field': GaussianParams, 'fea_up': mlp,
+    optional 'pose': (num_cameras, 6) deltas} into the reference's named
+    parameter groups."""
     field = state["field"]
     groups = {g: getattr(field, leaf) for leaf, g in FIELD_GROUP_OF.items()}
     groups["up_net"] = state["fea_up"]
+    if state.get("pose") is not None:
+        groups["camera_opt"] = state["pose"]
     return groups
 
 
@@ -129,7 +136,10 @@ def from_groups(groups: Dict[str, Any], template: Dict[str, Any]) -> Dict[str, A
     field = template["field"]._replace(
         **{leaf: groups[g] for leaf, g in FIELD_GROUP_OF.items()}
     )
-    return {"field": field, "fea_up": groups["up_net"]}
+    out = {"field": field, "fea_up": groups["up_net"]}
+    if "camera_opt" in groups:
+        out["pose"] = groups["camera_opt"]
+    return out
 
 
 def _adam_tx(cfg: GroupConfig) -> optax.GradientTransformation:

@@ -37,6 +37,7 @@ class TrainState(NamedTuple):
     opt: Dict[str, optim.GroupOptState]  # per-group Adam + accumulators
     stats: DensifyStats                  # densification statistics
     key: jax.Array                       # PRNG state
+    pose: Any = None                     # (num_cameras, 6) pose deltas or None
 
     @property
     def num_alive(self) -> jax.Array:
@@ -49,8 +50,9 @@ def init_train_state(
     alive: jax.Array,
     fea_up: Dict[str, jax.Array],
     group_cfgs: Dict[str, optim.GroupConfig] = optim.DEFAULT_GROUPS,
+    pose: Any = None,
 ) -> TrainState:
-    model_state = {"field": field, "fea_up": fea_up}
+    model_state = {"field": field, "fea_up": fea_up, "pose": pose}
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         field=field,
@@ -59,6 +61,7 @@ def init_train_state(
         opt=optim.init_opt_state(model_state, group_cfgs),
         stats=DensifyStats.zeros(field.capacity),
         key=key,
+        pose=pose,
     )
 
 
@@ -78,7 +81,8 @@ def train_step(
         )
         return total, aux
 
-    model_state = {"field": state.field, "fea_up": state.fea_up}
+    model_state = {"field": state.field, "fea_up": state.fea_up,
+                   "pose": state.pose}
     probe = jnp.zeros((c, 2), state.field.means.dtype)
     (total, aux), (grads, probe_grad) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
@@ -116,6 +120,7 @@ def train_step(
         opt=new_opt,
         stats=stats,
         key=state.key,
+        pose=new_model.get("pose"),
     )
     return new_state, metrics
 

@@ -53,6 +53,10 @@ class TrainerConfig:
     capacity: Optional[int] = None
     random_init_points: int = 50000
     tensorboard: bool = False
+    vis: str = ""
+    """Extra metric backends, '+'-separated (the reference's --vis modes,
+    utils/writer.py:306-407): any of tensorboard, wandb, comet. Backends
+    whose library is missing degrade silently."""
     prefetch: bool = True
     """Overlap host-side batch prep (sampling/IO) with device compute."""
     viewer_port: Optional[int] = None
@@ -141,7 +145,12 @@ class Trainer:
                 sh_degree=mcfg.sh_degree, capacity=cap,
             )
         fea_up = init_mlp(k_mlp, mcfg.feature_dim, mcfg.clip_dim, (128,))
-        state = init_train_state(k_state, field, alive, fea_up)
+        pose = None
+        if mcfg.pose_opt_mode != "off":
+            from gaussiangrasper_tpu.core.pose_opt import init_pose_deltas
+
+            pose = init_pose_deltas(len(self.dm))
+        state = init_train_state(k_state, field, alive, fea_up, pose=pose)
 
         if cfg.load_dir is not None:
             path = ckpt.latest_checkpoint(cfg.load_dir)
@@ -152,6 +161,8 @@ class Trainer:
         self.writer = MetricsWriter(
             log_dir=cfg.run_dir / "tb", tensorboard=cfg.tensorboard,
             steps_per_log=cfg.steps_per_log, max_steps=cfg.max_iterations,
+            vis=[v for v in cfg.vis.split("+") if v],
+            experiment_name=cfg.experiment_name,
         )
         self.state = state
         self.save_config()
@@ -192,9 +203,11 @@ class Trainer:
         start = int(state.step)
         t0 = time.perf_counter()
         for step in range(start, cfg.max_iterations):
-            _, cam, batch = source.next_train()
+            cam_idx, cam, batch = source.next_train()
             d = _downscale_factor(mcfg, step)
             cam_s, batch_s = downscale_batch(batch, cam, d)
+            if state.pose is not None:
+                batch_s = dict(batch_s, cam_idx=jnp.asarray(cam_idx, jnp.int32))
             state, metrics = train_step(state, cam_s, batch_s, mcfg)
             self.state = state  # live handle for the training viewer
 
@@ -224,7 +237,7 @@ class Trainer:
                 # eval-image panel (ref trainer.py:529-532): render a held
                 # view into tensorboard every steps_per_eval_image
                 if (
-                    cfg.tensorboard
+                    self.writer.has_backend
                     and (step + 1) % cfg.steps_per_eval_image == 0
                 ):
                     from gaussiangrasper_tpu.models.model import render as render_fn

@@ -62,6 +62,13 @@ class GaussianSplatConfig:
     feature_dim: int = 32
     clip_dim: int = 512
     depth_background: float = 10.0
+    pose_opt_mode: str = "off"
+    """Camera pose optimization: "off" (the reference's GS default,
+    ref gaussian_splatting.py:191), "SO3xR3", or "SE3"
+    (ref cameras/camera_optimizers.py:40). When on, per-camera 6-dof
+    deltas live in the train state's "camera_opt" optimizer group and are
+    applied to the pose before every render (ref :640
+    camera_optimizer.apply_to_camera)."""
     raster: RasterizeConfig = RasterizeConfig()
 
     @property
@@ -96,6 +103,7 @@ def render(
     *,
     probe: Optional[jax.Array] = None,
     crop_mask: Optional[jax.Array] = None,
+    pose_delta: Optional[jax.Array] = None,
 ) -> Dict[str, Any]:
     """Render rgb / feature / depth / normal maps for one camera.
 
@@ -103,6 +111,14 @@ def render(
     by the densification statistics (radii, per-Gaussian screen positions).
     """
     F = cfg.feature_dim
+    if pose_delta is not None and cfg.pose_opt_mode != "off":
+        from gaussiangrasper_tpu.core.pose_opt import apply_pose_delta
+
+        camera = camera.replace(
+            camera_to_world=apply_pose_delta(
+                camera.camera_to_world, pose_delta, cfg.pose_opt_mode
+            )
+        )
     vm = view_matrix(camera.camera_to_world)
     mask = alive if crop_mask is None else (alive & crop_mask)
 
@@ -194,7 +210,12 @@ def train_loss(
       points (S,2) int32, point_valid (S,), gt_clip (S,512).
     """
     field: GaussianParams = state["field"]
-    outs = render(field, alive, camera, step, cfg, probe=probe)
+    pose_delta = None
+    if state.get("pose") is not None and "cam_idx" in batch:
+        pose_delta = state["pose"][batch["cam_idx"]]
+    outs = render(
+        field, alive, camera, step, cfg, probe=probe, pose_delta=pose_delta
+    )
 
     gt_img = batch["image"]
     valid = batch["valid_mask"]

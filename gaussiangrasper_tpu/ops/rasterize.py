@@ -66,9 +66,14 @@ class RasterizeConfig:
     tile_chunk: int = 8
     """Tiles composited per scan step. Smaller chunks sharpen the
     work-proportional path's early exit (the whole chunk walks to its
-    slowest tile); 8 is the measured sweet spot on v5e at 800x800 — below
-    that, per-step overhead wins (238 ms fwd+bwd at 8 vs 370 ms at 1 and
-    393 ms at 128 for the 200k-Gaussian bench scene)."""
+    slowest tile; occupancy sorting keeps chunks homogeneous), larger
+    chunks feed the MXU bigger flat matmuls."""
+    pair_capacity_per_gaussian: int = 16
+    """Average (gaussian, tile) pairs budgeted per Gaussian: the binning
+    sort runs over a compacted buffer of N * this many pairs instead of
+    the N * max_tiles_per_gaussian grid. The budget is pooled across all
+    Gaussians (one splat may use many slots); overflow drops the DEEPEST
+    pairs and is reported in TileBins.dropped_tiles."""
     backend: str = "auto"
     """'pallas' (TPU kernel; interpreted elsewhere), 'xla' (pure lax, runs
     everywhere), or 'auto' (pallas on TPU, xla otherwise)."""
@@ -103,13 +108,33 @@ def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
     return tw, th
 
 
+_PRUNE_MARGIN = 1e-4
+"""Safety margin (in sigma units) for the alpha-cutoff tile pruning: the
+lower bound d^2/(2*lambda_max) is computed from cov2d while the composite
+evaluates sigma from the conic; the margin absorbs their rounding skew."""
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
     height: int,
     config: RasterizeConfig,
+    opacities: Optional[jax.Array] = None,
 ) -> TileBins:
-    """Build fixed-capacity, depth-ordered per-tile Gaussian index lists."""
+    """Build fixed-capacity, depth-ordered per-tile Gaussian index lists.
+
+    When `opacities` is given, candidate (gaussian, tile) pairs whose alpha
+    is provably below the 1/255 compositing cutoff EVERYWHERE in the tile
+    are pruned: alpha = opac * exp(-sigma) and sigma >= d^2 / (2*lmax)
+    where d is the distance from the tile's pixel rect to the splat center
+    and lmax the largest cov2d eigenvalue, so pairs with
+    d^2 > 2*lmax*(log(255*opac) + margin) contribute exactly zero in the
+    CUDA/oracle semantics and can be skipped. This both shrinks the bbox
+    radius (the CUDA kernel bins a fixed 3-sigma square regardless of
+    opacity, ref tile_bounds at gaussian_splatting.py:677-682) and rounds
+    off the bbox corners — results are bit-identical, the per-tile lists
+    just stop carrying dead entries.
+    """
     ts = config.tile_size
     tw, th = tile_grid(width, height, ts)
     T = tw * th
@@ -131,6 +156,19 @@ def bin_gaussians(
     r = radii[order]
     alive_s = alive[order]
 
+    r_cut2 = None
+    if opacities is not None:
+        opac_s = jax.lax.stop_gradient(opacities)[order]
+        cov = jax.lax.stop_gradient(proj.cov2d)[order]
+        a_, b_, c_ = cov[:, 0], cov[:, 1], cov[:, 2]
+        det = a_ * c_ - b_ * b_
+        b_half = 0.5 * (a_ + c_)
+        # same eigenvalue (and discriminant floor) as projection's radius
+        lmax = b_half + jnp.sqrt(jnp.maximum(0.1, b_half * b_half - det))
+        log_term = jnp.log(jnp.maximum(255.0 * opac_s, 1e-12)) + _PRUNE_MARGIN
+        r_cut2 = 2.0 * lmax * jnp.maximum(log_term, 0.0)
+        r = jnp.minimum(r, jnp.ceil(jnp.sqrt(r_cut2)))
+
     # Covered tile rectangle (same clamp arithmetic as the CUDA bbox helper).
     x0 = jnp.clip(jnp.floor((x - r) / ts), 0, tw).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((y - r) / ts), 0, th).astype(jnp.int32)
@@ -139,40 +177,94 @@ def bin_gaussians(
     w_span = jnp.maximum(x1 - x0, 0)
     h_span = jnp.maximum(y1 - y0, 0)
     span = jnp.where(alive_s, w_span * h_span, 0)
-    count = jnp.minimum(span, MT)
 
     # Enumerate pairs (sorted-gaussian, covered-tile) with a static cap MT.
     j = jnp.arange(MT, dtype=jnp.int32)  # (MT,)
     w_safe = jnp.maximum(w_span, 1)[:, None]
     dx = j[None, :] % w_safe
     dy = j[None, :] // w_safe
-    tid = (y0[:, None] + dy) * tw + (x0[:, None] + dx)  # (N, MT)
-    pair_valid = j[None, :] < count[:, None]
-    tid = jnp.where(pair_valid, tid, T)  # sentinel bin
+    tx = x0[:, None] + dx
+    ty = y0[:, None] + dy
+    tid = ty * tw + tx  # (N, MT)
+    keep = j[None, :] < jnp.minimum(span, MT)[:, None]
+    if r_cut2 is not None:
+        # circle-vs-pixel-rect: nearest pixel center of tile (tx, ty) to
+        # the splat center (pixel centers sit at integer coordinates).
+        px0 = (tx * ts).astype(x.dtype)
+        py0 = (ty * ts).astype(y.dtype)
+        ddx = jnp.maximum(jnp.maximum(px0 - x[:, None],
+                                      x[:, None] - (px0 + (ts - 1))), 0.0)
+        ddy = jnp.maximum(jnp.maximum(py0 - y[:, None],
+                                      y[:, None] - (py0 + (ts - 1))), 0.0)
+        keep = keep & (ddx * ddx + ddy * ddy <= r_cut2[:, None])
 
-    # Stable single-key sort by tile id keeps depth order within each tile.
-    payload = jnp.broadcast_to(order[:, None], (n, MT)).reshape(-1)
-    keys = tid.reshape(-1)
-    sorted_keys, sorted_payload = jax.lax.sort(
-        (keys, payload), num_keys=1, is_stable=True
+    # Compact the kept pairs into a PAIR_CAP buffer (positions = running
+    # rank in (depth, tile) lexicographic order, so stability is free),
+    # then sort ONE packed int32 key per pair instead of the round-1
+    # (key, payload) sort over the full N*MT grid — the pair sort was the
+    # binning bottleneck on the v5e.
+    row_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)  # (N,)
+    row_off = jnp.cumsum(row_counts) - row_counts
+    within = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - keep
+    pos = row_off[:, None] + within  # (N, MT)
+    pair_cap = n * min(MT, max(config.pair_capacity_per_gaussian, 1))
+    total_kept = row_off[-1] + row_counts[-1]
+    dropped_pairs = jnp.maximum(total_kept - pair_cap, 0)
+
+    rank = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, MT)
     )
+    scatter_pos = jnp.where(keep, pos, pair_cap).reshape(-1)
 
-    # Per-tile segment boundaries.
-    boundaries = jnp.searchsorted(sorted_keys, jnp.arange(T + 1, dtype=jnp.int32))
+    nb = max(int(n - 1).bit_length(), 1)  # bits for the depth rank
+    if (T + 1) << nb <= jnp.iinfo(jnp.int32).max:
+        # Packed single-key sort: key = tid << nb | rank. Unique keys, so
+        # the sort is stable by construction.
+        packed = ((tid << nb) | rank).reshape(-1)
+        sentinel = jnp.int32(T << nb)
+        buf = jnp.full((pair_cap,), sentinel, jnp.int32)
+        buf = buf.at[scatter_pos].set(
+            jnp.where(keep.reshape(-1), packed, sentinel), mode="drop"
+        )
+        sorted_keys = jax.lax.sort(buf)
+        sorted_rank = sorted_keys & ((1 << nb) - 1)
+        boundaries = jnp.searchsorted(
+            sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << nb)
+        )
+    else:
+        # Capacity too large to pack: two-array stable sort (still over
+        # the compacted buffer, not the N*MT grid).
+        kbuf = jnp.full((pair_cap,), jnp.int32(T))
+        rbuf = jnp.zeros((pair_cap,), jnp.int32)
+        flat_keep = keep.reshape(-1)
+        kbuf = kbuf.at[scatter_pos].set(
+            jnp.where(flat_keep, tid.reshape(-1), T), mode="drop"
+        )
+        rbuf = rbuf.at[scatter_pos].set(rank.reshape(-1), mode="drop")
+        sorted_keys, sorted_rank = jax.lax.sort(
+            (kbuf, rbuf), num_keys=1, is_stable=True
+        )
+        boundaries = jnp.searchsorted(
+            sorted_keys, jnp.arange(T + 1, dtype=jnp.int32)
+        )
+
     starts = boundaries[:-1]
     tile_count = (boundaries[1:] - starts).astype(jnp.int32)
 
-    # Slice out the first K (front-most) entries of each tile segment.
-    pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
+    # Slice out the first K (front-most) entries of each tile segment and
+    # map depth ranks back to original Gaussian indices.
+    pos2 = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
     in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
-    pos = jnp.clip(pos, 0, sorted_payload.shape[0] - 1)
-    tile_gidx = jnp.where(in_seg, sorted_payload[pos], -1)
+    pos2 = jnp.clip(pos2, 0, pair_cap - 1)
+    tile_gidx = jnp.where(in_seg, order[sorted_rank[pos2]], -1)
 
     overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
-    dropped_tiles = jnp.sum(span - count)
-    # Report the number of binned tiles per Gaussian (post-MT-cap), in the
-    # original (unsorted) index order.
-    num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(count.astype(jnp.int32))
+    dropped_tiles = (
+        jnp.sum(jnp.maximum(span - MT, 0)) + dropped_pairs
+    ).astype(jnp.int32)
+    # Report the number of binned tiles per Gaussian (post-prune/post-cap),
+    # in the original (unsorted) index order.
+    num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(row_counts)
     return TileBins(
         tile_gidx=tile_gidx,
         tile_count=tile_count,
@@ -323,7 +415,7 @@ def rasterize_projected(
     C = colors.shape[-1]
 
     if bins is None:
-        bins = bin_gaussians(proj, width, height, config)
+        bins = bin_gaussians(proj, width, height, config, opacities=opacities)
 
     TC = max(1, min(config.tile_chunk, T))
     n_chunks = -(-T // TC)

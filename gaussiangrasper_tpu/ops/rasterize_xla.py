@@ -19,16 +19,22 @@ RasterizeConfig):
     passes the chunk's max occupancy.
   - per-Gaussian attributes are gathered from the N-sized arrays INSIDE
     the walk (via the binning index lists), so untouched slabs cost no
-    HBM traffic either (vs. ~460 MB of full-capacity table gathers per
-    step at the 800x800/200k bench point).
+    HBM traffic either.
+  - all slab tensors live in a K-MAJOR (KC, TC, P) layout so that every
+    cumulative sum along K is ONE (KC, KC) @ (KC, TC*P) matmul on the
+    MXU. The round-1 layout expressed these as per-tile batched
+    (KC, KC) @ (KC, P=256) matmuls, which the TPU ran at ~1.5 TFLOP/s;
+    the flat form feeds the systolic array a contiguous N = TC*256 lane
+    dimension instead.
   - the backward is ONE reverse walk per chunk (the CUDA design): it
     starts at the forward's saved stopping slab and reconstructs
     transmittances from the saved terminal state by reverse cumulative
     sums, accumulating the suffix blend on the fly — no second forward
     "blend" pass. Per-slab gradients land in per-chunk tables
-    (dynamic_update_slice); ONE fused global scatter-add at the end maps
-    them to per-Gaussian gradients (TPU scatters want one big op, not
-    read-modify-writes of N-sized accumulators inside the loop).
+    (dynamic_update_slice, leading-axis in the k-major layout);
+    ONE fused global scatter-add at the end maps them to per-Gaussian
+    gradients (TPU scatters want one big op, not read-modify-writes of
+    N-sized accumulators inside the loop).
   - lax.while_loop has no reverse-mode rule, so the whole compositing is
     a jax.custom_vjp. The gradient identities match the Pallas kernels
     (ops/rasterize_pallas.py), which are verified against autodiff in
@@ -65,10 +71,11 @@ def _pixel_coords(tile_ids, tw: int, ts: int, dtype):
 
 
 def _slab_alpha(xy, con, opac, px, py):
-    """alpha (TC, KC, P) with the CUDA validity predicate; returns
-    (alpha, dx, dy, sigma, raw) for reuse in backward."""
-    dx = px[:, None, :] - xy[:, :, 0:1]  # (TC, KC, P)
-    dy = py[:, None, :] - xy[:, :, 1:2]
+    """alpha (KC, TC, P) with the CUDA validity predicate; returns
+    (alpha, dx, dy, sigma, raw) for reuse in backward. Inputs are k-major:
+    xy (KC, TC, 2), con (KC, TC, 3), opac (KC, TC); px/py (TC, P)."""
+    dx = px[None, :, :] - xy[:, :, 0:1]  # (KC, TC, P)
+    dy = py[None, :, :] - xy[:, :, 1:2]
     a_ = con[:, :, 0:1]
     b_ = con[:, :, 1:2]
     c_ = con[:, :, 2:3]
@@ -80,9 +87,10 @@ def _slab_alpha(xy, con, opac, px, py):
 
 
 def _gather_slab(gidx, s, xys, conics, opacities, colors):
-    """Gather one KC-slab of per-Gaussian attributes (in-loop gather:
-    only touched slabs generate HBM traffic)."""
+    """Gather one KC-slab of per-Gaussian attributes in k-major layout
+    (in-loop gather: only touched slabs generate HBM traffic)."""
     gi = jax.lax.dynamic_slice_in_dim(gidx, s * KC, KC, axis=1)  # (TC, KC)
+    gi = gi.T  # (KC, TC)
     valid = gi >= 0
     g = jnp.maximum(gi, 0)
     xy = xys[g]
@@ -90,6 +98,31 @@ def _gather_slab(gidx, s, xys, conics, opacities, colors):
     opac = jnp.where(valid, opacities[g], 0.0)
     col = colors[g]
     return g, valid, xy, con, opac, col
+
+
+def _tri(dtype):
+    """(KC, KC) lower-triangular ones (incl. diagonal). Cumulative sums
+    along the K axis run as one flat matmul on the MXU instead of a
+    sublane scan — the same trick as the Pallas kernels
+    (ops/rasterize_pallas.py:_tri)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    return (i >= j).astype(dtype)
+
+
+def _mat_k(tri, x):
+    """Apply an (KC, KC) matrix along axis 0 of a k-major (KC, TC, P)
+    tensor as ONE flat (KC, KC) @ (KC, TC*P) MXU matmul."""
+    kc, tc, p = x.shape
+    out = jax.lax.dot(
+        tri, x.reshape(kc, tc * p), preferred_element_type=x.dtype
+    )
+    return out.reshape(kc, tc, p)
+
+
+def _cumsum_k(tri, x):
+    """Inclusive cumsum along axis 0 (K): out[k] = sum_{j<=k} x[j]."""
+    return _mat_k(tri, x)
 
 
 def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
@@ -116,16 +149,17 @@ def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
             gidx, s, xys, conics, opacities, colors
         )
         alpha, *_ = _slab_alpha(xy, con, opac, px, py)
-        log_t = jnp.log1p(-alpha)  # (TC, KC, P)
-        cum = _cumsum_k(tri, log_t) + cum_all[:, None, :]
+        log_t = jnp.log1p(-alpha)  # (KC, TC, P)
+        cum = _cumsum_k(tri, log_t) + cum_all[None, :, :]
         composite = cum > LOG_EPS
-        t_before = jnp.exp(cum - log_t - cum_all[:, None, :] + logt_comp[:, None, :])
+        t_before = jnp.exp(cum - log_t - cum_all[None, :, :]
+                           + logt_comp[None, :, :])
         w = jnp.where(composite, alpha * t_before, 0.0)
         accum = accum + jnp.einsum(
-            "tkp,tkc->tpc", w, col, preferred_element_type=jnp.float32
+            "ktp,ktc->tpc", w, col, preferred_element_type=jnp.float32
         )
-        cum_all = cum_all + jnp.sum(log_t, axis=-2)
-        logt_comp = logt_comp + jnp.sum(jnp.where(composite, log_t, 0.0), axis=-2)
+        cum_all = cum_all + jnp.sum(log_t, axis=0)
+        logt_comp = logt_comp + jnp.sum(jnp.where(composite, log_t, 0.0), axis=0)
         return (s + 1, accum, cum_all, logt_comp)
 
     init = (jnp.zeros((), jnp.int32), jnp.zeros((TC, P, C), dtype),
@@ -134,26 +168,6 @@ def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
     t_final = jnp.exp(logt)
     out = accum + t_final[..., None] * bg[None, None, :]
     return out, 1.0 - t_final, logt, cum_all, s_stop
-
-
-def _tri(dtype):
-    """(KC, KC) lower-triangular ones (incl. diagonal). Cumulative sums
-    along the K axis run as one batched matmul on the MXU instead of a
-    sublane scan — the same trick as the Pallas kernels
-    (ops/rasterize_pallas.py:_tri), worth ~2x on the walk bodies."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
-    return (i >= j).astype(dtype)
-
-
-def _cumsum_k(tri, x):
-    """Inclusive cumsum along axis -2 (K) via MXU: out[k] = sum_{j<=k}."""
-    return jnp.einsum("kj,tjp->tkp", tri, x, preferred_element_type=x.dtype)
-
-
-def _rev_cumsum_k(tri, x):
-    """Reverse inclusive cumsum along axis -2: out[k] = sum_{j>=k} x[j]."""
-    return jnp.einsum("jk,tjp->tkp", tri, x, preferred_element_type=x.dtype)
 
 
 def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
@@ -173,17 +187,21 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
     dtype = xys.dtype
     TC, K = gidx.shape
     C = colors.shape[-1]
+    P = ts * ts
     px, py = _pixel_coords(tile_ids, tw, ts, dtype)
 
     t_final = jnp.exp(logt)  # (TC, P)
     bg_dot_g = jnp.einsum("tpc,c->tp", g_out, bg)
     tail_pix = t_final * (bg_dot_g - g_alpha)  # (TC, P)
     tri = _tri(dtype)
+    rev = tri.T  # out[k] = sum_{j>=k} x[j]
 
-    gxy0 = jnp.zeros((TC, K, 2), dtype)
-    gcon0 = jnp.zeros((TC, K, 3), dtype)
-    gopac0 = jnp.zeros((TC, K), dtype)
-    gcol0 = jnp.zeros((TC, K, C), dtype)
+    # Gradient tables are k-major (K, TC, ...) so the per-slab writes are
+    # leading-axis dynamic_update_slices; transposed once at the end.
+    gxy0 = jnp.zeros((K, TC, 2), dtype)
+    gcon0 = jnp.zeros((K, TC, 3), dtype)
+    gopac0 = jnp.zeros((K, TC), dtype)
+    gcol0 = jnp.zeros((K, TC, C), dtype)
 
     def cond(state):
         s, *_ = state
@@ -198,30 +216,32 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
         log_t = jnp.log1p(-alpha)
 
         # inclusive prefix of ALL entries up to k  =  total - strictly-after
-        rev_incl = _rev_cumsum_k(tri, log_t)  # sum_{j>=k in slab}
-        after_k = cum_after[:, None, :] + rev_incl - log_t
-        cum_incl_k = cum_all_total[:, None, :] - after_k
+        rev_incl = _mat_k(rev, log_t)  # sum_{j>=k in slab}
+        after_k = cum_after[None, :, :] + rev_incl - log_t
+        cum_incl_k = cum_all_total[None, :, :] - after_k
         composite = cum_incl_k > LOG_EPS
 
         # composited-only prefix (exclusive) = total_comp - comp-after - own
         log_t_c = jnp.where(composite, log_t, 0.0)
-        rev_incl_c = _rev_cumsum_k(tri, log_t_c)
-        comp_after_k = logt_after[:, None, :] + rev_incl_c - log_t_c
-        t_before = jnp.exp(logt[:, None, :] - comp_after_k - log_t_c)
+        rev_incl_c = _mat_k(rev, log_t_c)
+        comp_after_k = logt_after[None, :, :] + rev_incl_c - log_t_c
+        t_before = jnp.exp(logt[None, :, :] - comp_after_k - log_t_c)
         w = jnp.where(composite, alpha * t_before, 0.0)
 
-        gc = jnp.einsum("tkc,tpc->tkp", col, g_out)
+        gc = jnp.einsum(
+            "ktc,tpc->ktp", col, g_out, preferred_element_type=jnp.float32
+        )
         wgc = w * gc
         # suffix_k = sum_{j>k} w_j gc_j (later slabs carried in `suffix`)
-        rev_incl_wgc = _rev_cumsum_k(tri, wgc)
-        suffix_k = suffix[:, None, :] + rev_incl_wgc - wgc
+        rev_incl_wgc = _mat_k(rev, wgc)
+        suffix_k = suffix[None, :, :] + rev_incl_wgc - wgc
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        dalpha = t_before * gc - (suffix_k + tail_pix[:, None, :]) / one_m
+        dalpha = t_before * gc - (suffix_k + tail_pix[None, :, :]) / one_m
         dalpha = jnp.where(composite & (w > 0.0), dalpha, 0.0)
         dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
         dsigma = -raw * dalpha
-        dopac_k = jnp.sum(jnp.exp(-sigma) * dalpha, axis=-1)  # (TC, KC)
+        dopac_k = jnp.sum(jnp.exp(-sigma) * dalpha, axis=-1)  # (KC, TC)
 
         a_ = con[:, :, 0:1]
         b_ = con[:, :, 1:2]
@@ -231,20 +251,22 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
         ga = jnp.sum(0.5 * dx * dx * dsigma, axis=-1)
         gb = jnp.sum(dx * dy * dsigma, axis=-1)
         gc2 = jnp.sum(0.5 * dy * dy * dsigma, axis=-1)
-        gcol_k = jnp.einsum("tkp,tpc->tkc", w, g_out)
+        gcol_k = jnp.einsum(
+            "ktp,tpc->ktc", w, g_out, preferred_element_type=jnp.float32
+        )
 
         vz3 = lambda x: jnp.where(valid[..., None], x, 0.0)
         upd = functools.partial(
-            jax.lax.dynamic_update_slice_in_dim, start_index=s * KC, axis=1
+            jax.lax.dynamic_update_slice_in_dim, start_index=s * KC, axis=0
         )
         gxy = upd(gxy, vz3(jnp.stack([gx, gy], axis=-1)))
         gcon = upd(gcon, vz3(jnp.stack([ga, gb, gc2], axis=-1)))
         gopac = upd(gopac, jnp.where(valid, dopac_k, 0.0))
         gcol = upd(gcol, vz3(gcol_k))
 
-        suffix = suffix + jnp.sum(wgc, axis=-2)
-        logt_after = logt_after + jnp.sum(log_t_c, axis=-2)
-        cum_after = cum_after + jnp.sum(log_t, axis=-2)
+        suffix = suffix + jnp.sum(wgc, axis=0)
+        logt_after = logt_after + jnp.sum(log_t_c, axis=0)
+        cum_after = cum_after + jnp.sum(log_t, axis=0)
         return (s - 1, suffix, logt_after, cum_after, gxy, gcon, gopac, gcol)
 
     z = jnp.zeros_like(tail_pix)
@@ -252,7 +274,9 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
     state = jax.lax.while_loop(cond, body, init)
     _, _, _, _, gxy, gcon, gopac, gcol = state
     gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
-    return gxy, gcon, gopac, gcol, gbg
+    # back to (TC, K, ...) for the global scatter
+    tr = lambda x: jnp.swapaxes(x, 0, 1)
+    return tr(gxy), tr(gcon), tr(gopac), tr(gcol), gbg
 
 
 def _pad_t(counts, gidx, tile_chunk):
@@ -326,7 +350,6 @@ def _composite_bwd(tw, ts, tile_chunk, res, g):
              chunked(pad_p(g_alpha)), logt, cum_all, s_stop),
     )
     # ONE fused scatter: per-(tile, k) grads -> per-Gaussian grads.
-    k_pad = gidx_p.shape[1]
     flat_g = jnp.maximum(gidx_p, 0).reshape(-1)
     c = colors.shape[-1]
     vals = jnp.concatenate(

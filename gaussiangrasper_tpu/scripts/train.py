@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--capacity", type=int, default=None)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--vis", type=str, default="",
+                   help="extra metric backends, '+'-separated: "
+                        "tensorboard, wandb, comet (missing libraries "
+                        "degrade silently)")
     p.add_argument("--load-dir", type=Path, default=None)
     p.add_argument("--feature-dim", type=int, default=32)
     p.add_argument("--sh-degree", type=int, default=4)

@@ -5,8 +5,17 @@ nerfstudio/viewer_beta/viewer.py: websocket server + per-client render
 thread + camera controls). Re-imagined with zero extra dependencies: a
 small HTTP server serves an HTML page with mouse orbit/zoom controls that
 POSTs camera poses to /render and receives JPEG frames rendered by the
-jitted model. Supports rgb / depth / normal / feature-PCA view modes (the
-control-panel output selector analog).
+jitted model.
+
+Control-panel parity (ref viewer_beta/control_panel.py + viewer.py:367-406):
+- output selector: rgb / depth / normal / feature-PCA view modes
+- resolution selector (the reference's adaptive-resolution analog,
+  render_state_machine.py: target-fps driven; here explicit)
+- crop box: min/max corners drive `crop_mask` in the model's render
+  (the reference's crop_obb -> crop_ids at gaussian_splatting.py:649-654)
+- train-vs-render time share: when a trainer is live, render requests
+  yield so that training keeps ~train_util of the wall clock (the
+  reference's train_util throttle, viewer_beta/viewer.py:367-406)
 
 Usage: python -m gaussiangrasper_tpu.scripts.viewer --run-dir <run> [--port 7007]
 """
@@ -17,8 +26,10 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,17 +38,24 @@ import numpy as np
 PAGE = """<!DOCTYPE html>
 <html><head><title>gaussiangrasper_tpu viewer</title><style>
 body{margin:0;background:#111;color:#eee;font-family:sans-serif;overflow:hidden}
-#hud{position:fixed;top:8px;left:8px;background:#0008;padding:8px;border-radius:6px}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:8px;border-radius:6px;font-size:13px}
 img{width:100vw;height:100vh;object-fit:contain;display:block}
-select{background:#222;color:#eee;border:1px solid #555}
+select,input{background:#222;color:#eee;border:1px solid #555;width:4.5em}
+select{width:auto}
 </style></head><body>
 <div id="hud">mode <select id="mode">
 <option>rgb</option><option>depth</option><option>normal</option><option>feature</option>
-</select> <span id="fps"></span><br>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom</div>
+</select>
+res <select id="res"><option>160</option><option selected>320</option><option>640</option></select>
+<span id="fps"></span><br>
+crop min <input id="cx0" value="-99"><input id="cy0" value="-99"><input id="cz0" value="-99"><br>
+crop max <input id="cx1" value="99"><input id="cy1" value="99"><input id="cz1" value="99"><br>
+drag: orbit &middot; shift-drag: pan &middot; wheel: zoom</div>
 <img id="view">
 <script>
 let az=0, el=0.5, dist=3.0, cx=0, cy=0, cz=0, busy=false, t0=0;
 const img=document.getElementById('view'), fps=document.getElementById('fps');
+const v=id=>parseFloat(document.getElementById(id).value);
 function pose(){
   const ce=Math.cos(el), se=Math.sin(el), ca=Math.cos(az), sa=Math.sin(az);
   const eye=[cx+dist*ce*sa, cy+dist*ce*ca, cz+dist*se];
@@ -46,7 +64,10 @@ function pose(){
 async function refresh(){
   if(busy) return; busy=true; t0=performance.now();
   const r=await fetch('/render',{method:'POST',body:JSON.stringify(
-      {...pose(), mode:document.getElementById('mode').value})});
+      {...pose(), mode:document.getElementById('mode').value,
+       res:parseInt(document.getElementById('res').value),
+       crop_min:[v('cx0'),v('cy0'),v('cz0')],
+       crop_max:[v('cx1'),v('cy1'),v('cz1')]})});
   const b=await r.blob();
   img.src=URL.createObjectURL(b);
   fps.textContent=(1000/(performance.now()-t0)).toFixed(1)+' fps';
@@ -63,7 +84,8 @@ window.addEventListener('mousemove',e=>{
   drag=[e.clientX,e.clientY,drag[2]]; refresh();
 });
 window.addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001); refresh();});
-document.getElementById('mode').addEventListener('change',refresh);
+for (const id of ['mode','res','cx0','cy0','cz0','cx1','cy1','cz1'])
+  document.getElementById(id).addEventListener('change',refresh);
 refresh(); setInterval(()=>{if(!busy) refresh();}, 2000);
 </script></body></html>"""
 
@@ -79,7 +101,42 @@ def look_at(eye, center, up):
     return np.stack([x, y, z, eye], axis=1).astype(np.float32)
 
 
-def make_server(state_provider, model_cfg, port: int, width: int, height: int):
+class RenderThrottle:
+    """Train-vs-render time sharing (ref viewer_beta/viewer.py:367-406:
+    `train_util` is the fraction of wall time training must keep). After
+    each render of duration d, the next render is admitted no sooner than
+    d * train_util / (1 - train_util) later, so renders occupy at most
+    (1 - train_util) of the wall clock. Inactive (no sleep) unless a
+    trainer is live."""
+
+    def __init__(self, train_util: float = 0.85):
+        self.train_util = float(train_util)
+        self.training = False
+        self._next_allowed = 0.0
+        self._lock = threading.Lock()
+
+    def delay_for(self, render_duration: float) -> float:
+        u = min(max(self.train_util, 0.0), 0.99)
+        return render_duration * u / (1.0 - u)
+
+    def admit(self, now: Optional[float] = None) -> None:
+        """Block until a render may start."""
+        if not self.training:
+            return
+        now = time.monotonic() if now is None else now
+        wait = self._next_allowed - now
+        if wait > 0:
+            time.sleep(wait)
+
+    def note(self, render_duration: float, now: Optional[float] = None) -> None:
+        """Record a completed render; schedules the next admission."""
+        now = time.monotonic() if now is None else now
+        with self._lock:
+            self._next_allowed = now + self.delay_for(render_duration)
+
+
+def make_server(state_provider, model_cfg, port: int, width: int, height: int,
+                throttle: Optional[RenderThrottle] = None):
     """HTTP viewer server over a live state source.
 
     state_provider() -> TrainState; called per frame, so a running trainer
@@ -92,20 +149,33 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int):
     from gaussiangrasper_tpu.core.cameras import Camera
     from gaussiangrasper_tpu.models.model import feature_pca_vis, render as render_fn
 
-    w, h = width, height
-    f = 0.7 * w
-    render_jit = jax.jit(
-        lambda fl, a, c, s: render_fn(fl, a, c, s, model_cfg)
-    )
+    throttle = throttle or RenderThrottle()
+
+    @jax.jit
+    def render_jit(fl, a, c, s, crop_min, crop_max):
+        inside = jnp.all((fl.means >= crop_min) & (fl.means <= crop_max), -1)
+        return render_fn(fl, a, c, s, model_cfg, crop_mask=inside)
+
     lock = threading.Lock()
 
-    def render_pose(eye, center, up, mode):
+    def render_pose(eye, center, up, mode, res=None, crop_min=None,
+                    crop_max=None):
+        w = int(res) if res else width
+        h = int(round(w * height / width))
+        f = 0.7 * w
         cam = Camera.create(f, f, w / 2, h / 2, look_at(eye, center, up), w, h)
+        cmin = jnp.asarray(crop_min if crop_min is not None else [-1e9] * 3,
+                           jnp.float32)
+        cmax = jnp.asarray(crop_max if crop_max is not None else [1e9] * 3,
+                           jnp.float32)
+        throttle.admit()
+        t0 = time.monotonic()
         for _ in range(3):  # retry if the state was donated mid-render
             state = state_provider()
             try:
                 with lock:
-                    outs = render_jit(state.field, state.alive, cam, state.step)
+                    outs = render_jit(state.field, state.alive, cam,
+                                      state.step, cmin, cmax)
                     if mode == "depth":
                         d = np.asarray(outs["depth"][..., 0])
                         d = (d - d.min()) / (d.max() - d.min() + 1e-8)
@@ -121,6 +191,7 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int):
                 continue
         else:
             rgb = np.zeros((h, w, 3), np.float32)
+        throttle.note(time.monotonic() - t0)
         buf = io.BytesIO()
         Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
             buf, "JPEG", quality=85
@@ -140,20 +211,31 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int):
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n))
-            jpeg = render_pose(req["eye"], req["center"], req["up"],
-                               req.get("mode", "rgb"))
+            jpeg = render_pose(
+                req["eye"], req["center"], req["up"], req.get("mode", "rgb"),
+                req.get("res"), req.get("crop_min"), req.get("crop_max"),
+            )
             self.send_response(200)
             self.send_header("Content-Type", "image/jpeg")
             self.end_headers()
             self.wfile.write(jpeg)
 
-    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server.throttle = throttle  # exposed so the trainer can flip .training
+    server.render_pose = render_pose  # exposed for tests
+    return server
 
 
 def serve_in_background(state_provider, model_cfg, port: int,
-                        width: int = 320, height: int = 240):
-    """Start the viewer on a daemon thread (used by `ggt-train --viewer-port`)."""
-    server = make_server(state_provider, model_cfg, port, width, height)
+                        width: int = 320, height: int = 240,
+                        train_util: float = 0.85):
+    """Start the viewer on a daemon thread (used by `ggt-train --viewer-port`).
+    The returned server's `.throttle.training` is True, so render requests
+    time-share with the train loop at `train_util`."""
+    throttle = RenderThrottle(train_util)
+    throttle.training = True
+    server = make_server(state_provider, model_cfg, port, width, height,
+                         throttle)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     print(f"live viewer on http://localhost:{port}", flush=True)

@@ -58,9 +58,17 @@ def build_scene():
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--stages", default="gather,proj,bin,fwd,fwdbwd")
+    p.add_argument("--stages", default="rtt,bin,fwd,fwdbwd")
     args = p.parse_args()
     stages = set(args.stages.split(","))
+
+    if "rtt" in stages:
+        # Fixed dispatch+sync cost through the tunnel: a trivial op.
+        tiny = jnp.zeros((8,))
+        f = jax.jit(lambda x: x + 1.0)
+        dt = timeit(f, tiny)
+        print(f"dispatch RTT (tiny op, per-iter sync): {dt*1e3:.2f} ms",
+              flush=True)
 
     from gaussiangrasper_tpu.core.cameras import view_matrix
     from gaussiangrasper_tpu.models.model import GaussianSplatConfig
@@ -111,21 +119,24 @@ def main():
         print(f"projection fwd+bwd: {dt*1e3:.2f} ms", flush=True)
 
     rcfg = RasterizeConfig()
+    opac = jax.nn.sigmoid(field.opacity_logits)
     if "bin" in stages:
-        bin_fn = jax.jit(lambda pr: bin_gaussians(pr, W, H, rcfg))
-        dt = timeit(bin_fn, proj)
-        bins = bin_fn(proj)
-        occ = jnp.sum(jnp.minimum(bins.tile_count, 1024))
-        print(f"binning: {dt*1e3:.2f} ms  (pairs={int(jnp.sum(bins.tile_count))}, "
-              f"mean/tile={float(jnp.mean(bins.tile_count)):.0f}, "
-              f"max/tile={int(jnp.max(bins.tile_count))}, "
-              f"binned={int(occ)})", flush=True)
+        for label, op in (("nopop", None), ("pruned", opac)):
+            bin_fn = jax.jit(
+                lambda pr, o=op: bin_gaussians(pr, W, H, rcfg, opacities=o)
+            )
+            dt = timeit(bin_fn, proj)
+            bins = bin_fn(proj)
+            print(f"binning {label}: {dt*1e3:.2f} ms  "
+                  f"(pairs={int(jnp.sum(bins.tile_count))}, "
+                  f"mean/tile={float(jnp.mean(bins.tile_count)):.0f}, "
+                  f"max/tile={int(jnp.max(bins.tile_count))}, "
+                  f"dropped={int(bins.dropped_tiles)})", flush=True)
 
     colors = jnp.concatenate(
         [jax.nn.sigmoid(field.sh_coeffs[:, 0]), field.features,
          proj.depths[:, None],
          jnp.zeros((N_GAUSS, 3))], axis=-1)
-    opac = jax.nn.sigmoid(field.opacity_logits)
     bg = jnp.zeros((colors.shape[-1],))
 
     def composite(pr, col, op, tc):
@@ -134,13 +145,13 @@ def main():
         return out["image"], out["alpha"]
 
     if "fwd" in stages:
-        for tc in (8, 32, 128):
+        for tc in (8, 32, 64, 128):
             fn = jax.jit(lambda pr, c, o, tc=tc: composite(pr, c, o, tc))
             dt = timeit(fn, proj, colors, opac)
             print(f"composite fwd tc={tc}: {dt*1e3:.2f} ms", flush=True)
 
     if "fwdbwd" in stages:
-        for tc in (8, 32, 128):
+        for tc in (8, 32, 64, 128):
             def loss(pr, c, o, tc=tc):
                 img, al = composite(pr, c, o, tc)
                 return jnp.mean(jnp.abs(img)) + 0.0 * jnp.mean(al)

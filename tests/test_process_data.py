@@ -133,3 +133,132 @@ class TestPolycam:
         with pytest.raises(SystemExit, match="ffmpeg"):
             main(["video", "--data", str(tmp_path / "v.mp4"),
                   "--output", str(tmp_path / "o")])
+
+
+class TestRecord3D:
+    def test_round_trip(self, tmp_path):
+        data = tmp_path / "r3d"
+        for i in range(4):
+            _png(data / "rgb" / f"{i}.jpg", 8, 6)
+        # identity quaternion (x,y,z,w) + distinct translations
+        poses = [[0.0, 0.0, 0.0, 1.0, 0.1 * i, 0.0, 0.2] for i in range(4)]
+        k_row_major = np.array([[F, 0, 4.0], [0, F, 3.0], [0, 0, 1]])
+        (data / "metadata.json").write_text(json.dumps({
+            "poses": poses, "K": k_row_major.T.reshape(-1).tolist(),
+            "w": 8, "h": 6,
+        }))
+        out = tmp_path / "out"
+        main(["record3d", "--data", str(data), "--output", str(out),
+              "--max-images", "3"])
+        meta = json.loads((out / "transforms.json").read_text())
+        assert len(meta["frames"]) == 3  # evenly subsampled 4 -> 3
+        assert meta["fl_x"] == F and meta["cx"] == 4.0
+        m = np.array(meta["frames"][0]["transform_matrix"])
+        np.testing.assert_allclose(m[:3, :3], np.eye(3), atol=1e-7)
+        np.testing.assert_allclose(m[:3, 3], [0.0, 0.0, 0.2], atol=1e-7)
+        assert (out / "images" / "0.jpg").exists()
+
+
+class TestMetashape:
+    def test_xml_conversion(self, tmp_path):
+        data = tmp_path / "imgs"
+        _png(data / "shot0.png", 8, 6)
+        xml = tmp_path / "cameras.xml"
+        xml.write_text(f"""<?xml version="1.0"?>
+<document><chunk>
+  <sensors>
+    <sensor id="0" type="frame">
+      <resolution width="8" height="6"/>
+      <calibration><f>{F}</f><cx>0.5</cx><cy>-0.5</cy><k1>0.01</k1></calibration>
+    </sensor>
+  </sensors>
+  <components>
+    <component id="0"><transform>
+      <rotation>1 0 0 0 1 0 0 0 1</rotation>
+      <translation>2 0 0</translation>
+      <scale>2</scale>
+    </transform></component>
+  </components>
+  <cameras>
+    <camera id="0" sensor_id="0" component_id="0" label="shot0">
+      <transform>1 0 0 0 0 1 0 0 0 0 1 1 0 0 0 1</transform>
+    </camera>
+    <camera id="1" sensor_id="0" label="missing_image">
+      <transform>1 0 0 0 0 1 0 0 0 0 1 0 0 0 0 1</transform>
+    </camera>
+  </cameras>
+</chunk></document>""")
+        out = tmp_path / "out"
+        main(["metashape", "--data", str(data), "--xml", str(xml),
+              "--output", str(out)])
+        meta = json.loads((out / "transforms.json").read_text())
+        assert len(meta["frames"]) == 1  # camera without image skipped
+        fr = meta["frames"][0]
+        assert fr["fl_x"] == F
+        assert fr["cx"] == 0.5 + 4.0 and fr["cy"] == -0.5 + 3.0
+        assert fr["k1"] == 0.01
+        m = np.array(fr["transform_matrix"])
+        # component translation scaled by 1/s: (2/2, 0, 0) + camera (0,0,1)
+        # then row-permuted [2,0,1]: world z row first
+        np.testing.assert_allclose(m[:, 3], [1.0, 1.0, 0.0, 1.0], atol=1e-9)
+        # identity rotation: rows [2,0,1] with cols 1:3 negated
+        expect = np.eye(3)[[2, 0, 1]]
+        expect[:, 1:3] *= -1
+        np.testing.assert_allclose(m[:3, :3], expect, atol=1e-9)
+
+
+class TestRealityCapture:
+    def test_csv_conversion(self, tmp_path):
+        data = tmp_path / "imgs"
+        _png(data / "dji0.png", 8, 6)
+        csvf = tmp_path / "poses.csv"
+        csvf.write_text(
+            "#name,x,y,alt,heading,pitch,roll,f,px,py,k1,k2,k3,k4,t1,t2\n"
+            "dji0.png,1.0,2.0,3.0,0,0,0,36,0,0,0,0,0,0,0,0\n"
+            "missing.png,0,0,0,0,0,0,36,0,0,0,0,0,0,0,0\n"
+        )
+        out = tmp_path / "out"
+        main(["realitycapture", "--data", str(data), "--csv", str(csvf),
+              "--output", str(out)])
+        meta = json.loads((out / "transforms.json").read_text())
+        assert meta["orientation_override"] == "none"
+        assert len(meta["frames"]) == 1
+        fr = meta["frames"][0]
+        # f=36mm at max(w,h)=8 -> fl = 36*8/36 = 8
+        assert fr["fl_x"] == 8.0
+        m = np.array(fr["transform_matrix"])
+        np.testing.assert_allclose(m[:3, 3], [1.0, 2.0, 3.0], atol=1e-9)
+        np.testing.assert_allclose(m[:3, :3], np.eye(3), atol=1e-9)
+
+
+class TestODM:
+    def test_project_conversion(self, tmp_path):
+        data = tmp_path / "odm"
+        _png(data / "images" / "a.jpg", 8, 6)
+        (data / "cameras.json").write_text(json.dumps({
+            "cam0": {"projection_type": "brown", "width": 8, "height": 6,
+                     "focal": 0.9, "c_x": 0.1, "c_y": -0.1, "k1": 0.02},
+        }))
+        (data / "odm_report").mkdir()
+        (data / "odm_report" / "shots.geojson").write_text(json.dumps({
+            "features": [
+                {"properties": {"filename": "a.jpg",
+                                "rotation": [0.0, 0.0, 0.0],
+                                "translation": [1.0, 2.0, 3.0]}},
+                {"properties": {"filename": "gone.jpg",
+                                "rotation": [0.0, 0.0, 0.0],
+                                "translation": [0.0, 0.0, 0.0]}},
+            ],
+        }))
+        out = tmp_path / "out"
+        main(["odm", "--data", str(data), "--output", str(out)])
+        meta = json.loads((out / "transforms.json").read_text())
+        assert meta["camera_model"] == "OPENCV"
+        assert len(meta["frames"]) == 1
+        fr = meta["frames"][0]
+        assert fr["fl_x"] == pytest.approx(0.9 * 8)
+        assert fr["cx"] == pytest.approx(0.1 + 3.5)
+        assert fr["k1"] == 0.02
+        m = np.array(fr["transform_matrix"])
+        # identity rotation, translation (1,2,3) row-permuted [2,0,1]
+        np.testing.assert_allclose(m[:3, 3], [3.0, 1.0, 2.0], atol=1e-9)

@@ -1,0 +1,98 @@
+"""Viewer control panel: train-util throttling, crop box, resolution
+(ref viewer_beta/viewer.py:367-406 + control_panel.py crop)."""
+
+import io
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiangrasper_tpu.scripts.viewer import RenderThrottle, make_server
+
+
+def _scene():
+    from gaussiangrasper_tpu.models.gaussian_field import init_random
+    from gaussiangrasper_tpu.engine.train_state import init_train_state
+    from gaussiangrasper_tpu.models.efd import init_mlp
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+
+    field, alive = init_random(jax.random.PRNGKey(0), 60, extent=1.0,
+                               feature_dim=4, init_scale=0.1)
+    # two clusters at z = -2: left (x<0) and right (x>0)
+    means = field.means.at[:, 2].set(-2.0)
+    means = means.at[:30, 0].set(-0.5)
+    means = means.at[30:, 0].set(0.5)
+    field = field._replace(
+        means=means,
+        opacity_logits=jnp.full((60,), 3.0),
+    )
+    fea_up = init_mlp(jax.random.PRNGKey(1), 4, 512, (16,))
+    state = init_train_state(jax.random.PRNGKey(2), field, alive, fea_up)
+    return state, GaussianSplatConfig(feature_dim=4, sh_degree=1)
+
+
+class TestThrottle:
+    def test_renders_yield_to_training(self):
+        """At train_util=0.9, a 10ms render schedules the next admission
+        ~90ms later — renders keep <=10% of wall time."""
+        th = RenderThrottle(train_util=0.9)
+        th.training = True
+        assert th.delay_for(0.010) == np.float64(0.010) * 9 or abs(
+            th.delay_for(0.010) - 0.09
+        ) < 1e-9
+        th.note(0.010, now=100.0)
+        t0 = time.monotonic()
+        # emulate an admit at now=100.05 -> must sleep ~0.04s
+        th.admit(now=100.05)
+        waited = time.monotonic() - t0
+        assert 0.02 < waited < 0.2
+
+    def test_inactive_without_training(self):
+        th = RenderThrottle(train_util=0.99)
+        th.note(1.0)  # would imply a ~99s delay
+        t0 = time.monotonic()
+        th.admit()  # training False -> no sleep
+        assert time.monotonic() - t0 < 0.05
+
+
+class TestCropAndResolution:
+    def test_crop_box_hides_half_the_scene(self):
+        from PIL import Image
+
+        state, cfg = _scene()
+        server = make_server(lambda: state, cfg, port=0, width=64, height=48)
+        try:
+            def frame(**kw):
+                jpeg = server.render_pose(
+                    eye=[0, 0, 0], center=[0, 0, -2], up=[0, 1, 0],
+                    mode="rgb", **kw,
+                )
+                return np.asarray(Image.open(io.BytesIO(jpeg)), np.float32)
+
+            full = frame()
+            left_only = frame(crop_min=[-10, -10, -10], crop_max=[0, 10, 10])
+            h, w = full.shape[:2]
+            # right half goes dark when cropped to x<0
+            right = slice(None), slice(w // 2, None)
+            assert left_only[right].sum() < 0.25 * full[right].sum() + 1e-6
+            # left half survives
+            left = slice(None), slice(0, w // 2)
+            assert left_only[left].sum() > 0.5 * full[left].sum()
+        finally:
+            server.server_close()
+
+    def test_resolution_override(self):
+        from PIL import Image
+
+        state, cfg = _scene()
+        server = make_server(lambda: state, cfg, port=0, width=64, height=48)
+        try:
+            jpeg = server.render_pose(
+                eye=[0, 0, 0], center=[0, 0, -2], up=[0, 1, 0],
+                mode="rgb", res=32,
+            )
+            img = Image.open(io.BytesIO(jpeg))
+            assert img.size == (32, 24)
+        finally:
+            server.server_close()
