@@ -186,7 +186,11 @@ def main():
                 }
             )
         )
-        os._exit(0)
+        # Exit NORMALLY on success so the JAX client tears the tunnel
+        # session down cleanly — an os._exit here has been followed by the
+        # next client wedging the remote chip. The hard exit is reserved
+        # for the watchdog path below, where the device is already stuck.
+        return
     reason = result.get("error", f"device did not respond within {budget_s:.0f}s")
     print(
         json.dumps(

@@ -104,6 +104,7 @@ def render(
     probe: Optional[jax.Array] = None,
     crop_mask: Optional[jax.Array] = None,
     pose_delta: Optional[jax.Array] = None,
+    compositor: Optional[Any] = None,
 ) -> Dict[str, Any]:
     """Render rgb / feature / depth / normal maps for one camera.
 
@@ -153,7 +154,11 @@ def render(
     )
     opac = jax.nn.sigmoid(field.opacity_logits)
 
-    out = rasterize_projected(
+    # `compositor` lets the parallel layer swap in the tile-sharded
+    # composite (parallel/tile_shard.py) without duplicating the model
+    # logic; the default is the single-device tile pipeline.
+    composite = compositor if compositor is not None else rasterize_projected
+    out = composite(
         proj,
         colors,
         opac,
@@ -198,6 +203,7 @@ def train_loss(
     step: jax.Array | int,
     cfg: GaussianSplatConfig,
     probe: Optional[jax.Array] = None,
+    compositor: Optional[Any] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Total training loss + aux outputs.
 
@@ -214,7 +220,8 @@ def train_loss(
     if state.get("pose") is not None and "cam_idx" in batch:
         pose_delta = state["pose"][batch["cam_idx"]]
     outs = render(
-        field, alive, camera, step, cfg, probe=probe, pose_delta=pose_delta
+        field, alive, camera, step, cfg, probe=probe, pose_delta=pose_delta,
+        compositor=compositor,
     )
 
     gt_img = batch["image"]

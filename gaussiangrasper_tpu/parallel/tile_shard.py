@@ -1,0 +1,188 @@
+"""Tile-sharded compositing with a frustum-culled all-gather (north star).
+
+The round-1 sharded step kept the Gaussian field sharded over the "gauss"
+mesh axis but composited every image tile with the FULL capacity-sized
+field: XLA all-gathered all C rows to every device and one camera's
+compositing work was not distributed at all (the reference's analogous
+boundary is DDP at /root/reference/nerfstudio/pipelines/base_pipeline.py:
+304, which shards only over cameras). This module distributes the render
+itself:
+
+  1. Each device projects ITS capacity shard (embarrassingly parallel —
+     stays sharded, no communication).
+  2. Each device compacts its *culled* survivors (radii > 0: alive, in
+     frustum, det > 0) into a fixed `gather_budget`-row attribute table —
+     dead capacity slots and off-screen Gaussians are never transmitted.
+  3. ONE all-gather over "gauss" moves the compacted tables (the
+     frustum-culled all-gather; its transpose is the psum-scatter of the
+     attribute gradients, so the backward reduce rides the same ICI path).
+  4. Each device bins + composites its own horizontal BAND of image tiles
+     (a band is just a sub-image, so the single-device binning/compositing
+     pipeline — including the alpha-cutoff pruning and the
+     work-proportional walk — runs unchanged in band coordinates).
+  5. Band images stitch back along the row axis via the out_specs; the
+     loss consumes a row-sharded (H, W, C) image.
+
+Exactness: capacity shards are contiguous, per-device compaction preserves
+order, and the binning depth-sort is stable — the gathered subset is a
+subsequence of the unsharded ordering, so images and gradients match the
+single-device path bit-for-bit (tests/test_parallel.py asserts both) as
+long as `gather_budget` is not exceeded. Overflow (a too-small budget)
+drops the TAIL of each shard's survivors and is reported in
+`bins.gather_overflow` — the same cap-and-report contract as the binning
+caps (never silent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gaussiangrasper_tpu.ops.projection import ProjectedGaussians
+from gaussiangrasper_tpu.ops.rasterize import (
+    RasterizeConfig,
+    rasterize_projected,
+    tile_grid,
+)
+
+
+class ShardedBins(NamedTuple):
+    """Aggregated binning stats for the sharded path (the full per-tile
+    index lists stay device-local and are never materialized globally)."""
+
+    overflow: jax.Array        # () int32, max over bands of K-cap overflow
+    dropped_tiles: jax.Array   # () int32, summed over bands
+    gathered_rows: jax.Array   # () int32, culled rows actually gathered
+    gather_overflow: jax.Array  # () int32, rows dropped by gather_budget
+    gathered_bytes: jax.Array  # () int32, bytes each device received
+
+
+def composite_tile_sharded(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    background: jax.Array,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+    *,
+    mesh: Mesh,
+    axis: str = "gauss",
+    gather_budget: Optional[int] = None,
+):
+    """Drop-in replacement for `rasterize_projected` that shards the
+    compositing over `axis`. All N-leading inputs must be sharded (or
+    shardable) over `axis` on dim 0; returns the same dict contract with
+    a row-sharded image and a `ShardedBins` summary.
+
+    gather_budget: per-device cap on culled survivors entering the
+    all-gather. None = the full shard size (exact for any input, but
+    transmits dead slots too); smaller budgets bound ICI traffic and
+    report drops in `bins.gather_overflow`.
+    """
+    n = proj.xys.shape[0]
+    d = mesh.shape[axis]
+    c = colors.shape[-1]
+    if n % d != 0:
+        raise ValueError(f"capacity {n} not divisible by {axis}={d}")
+    nl = n // d
+    v = min(gather_budget or nl, nl)
+
+    ts = config.tile_size
+    tw, th = tile_grid(width, height, ts)
+    th_pad = -(-th // d) * d
+    hb = (th_pad // d) * ts  # band height in pixels
+
+    # Each band keeps only ~1/d of the global (gaussian, tile) pairs, so
+    # the per-band pair-sort buffer shrinks accordingly (2x slack for
+    # occupancy imbalance across bands; overflow is reported, not silent).
+    band_ppg = max(-(-2 * config.pair_capacity_per_gaussian // d), 4)
+    band_config = dataclasses.replace(
+        config, pair_capacity_per_gaussian=band_ppg
+    )
+
+    # attribute layout: xy(2) depth(1) conic(3) cov2d(3) radius(1) opac(1) color(C)
+    a_dim = 11 + c
+
+    def shard_fn(xys, depths, conics, radii, cov2d, cols, opac, bg):
+        # -- 2. compact culled survivors (order-preserving) --
+        vis = radii > 0.0
+        attrs = jnp.concatenate(
+            [xys, depths[:, None], conics, cov2d, radii[:, None],
+             opac[:, None], cols], axis=-1,
+        )  # (nl, A)
+        pos = jnp.cumsum(vis) - vis
+        idx = jnp.where(vis, pos, v)
+        buf = jnp.zeros((v, a_dim), attrs.dtype).at[idx].set(
+            jnp.where(vis[:, None], attrs, 0.0), mode="drop"
+        )
+        local_count = jnp.sum(vis, dtype=jnp.int32)
+        local_overflow = jnp.maximum(local_count - v, 0)
+
+        # -- 3. the frustum-culled all-gather --
+        g = jax.lax.all_gather(buf, axis, tiled=True)  # (d*v, A)
+
+        # -- 4. bin + composite this device's tile band --
+        band = jax.lax.axis_index(axis)
+        y_off = (band * hb).astype(g.dtype)
+        gproj = ProjectedGaussians(
+            xys=g[:, 0:2] - jnp.array([0.0, 1.0], g.dtype) * y_off,
+            depths=g[:, 2],
+            conics=g[:, 3:6],
+            radii=g[:, 9],
+            cov2d=g[:, 6:9],
+        )
+        out = rasterize_projected(
+            gproj, g[:, 11:], g[:, 10], bg, width, hb, band_config,
+        )
+        bins = out["bins"]
+        stats = (
+            jax.lax.pmax(bins.overflow, axis),
+            jax.lax.psum(bins.dropped_tiles, axis),
+            jax.lax.psum(local_count, axis),
+            jax.lax.psum(local_overflow, axis),
+        )
+        return out["image"], out["alpha"], stats
+
+    spec_n = P(axis)      # shard dim 0 over the gauss axis
+    spec_rep = P()
+    out_img = P(axis)     # bands stack along rows
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_n, spec_n, spec_n, spec_n, spec_n, spec_n, spec_n,
+                  spec_rep),
+        out_specs=(out_img, out_img, (spec_rep, spec_rep, spec_rep, spec_rep)),
+        check_rep=False,
+    )
+    image, alpha, stats = fn(
+        proj.xys, proj.depths, proj.conics, proj.radii, proj.cov2d,
+        colors, opacities, background,
+    )
+    image = image[:height]
+    alpha = alpha[:height]
+    overflow, dropped, gathered_rows, gather_overflow = stats
+    bins = ShardedBins(
+        overflow=overflow,
+        dropped_tiles=dropped,
+        gathered_rows=gathered_rows,
+        gather_overflow=gather_overflow,
+        gathered_bytes=gathered_rows * (a_dim * 4) * (d - 1) // d,
+    )
+    return {"image": image, "alpha": alpha, "bins": bins}
+
+
+def tile_sharded_compositor(mesh: Mesh, axis: str = "gauss",
+                            gather_budget: Optional[int] = None):
+    """A `compositor` for models.model.render: returns a callable with the
+    rasterize_projected signature bound to the mesh."""
+    return partial(
+        composite_tile_sharded, mesh=mesh, axis=axis,
+        gather_budget=gather_budget,
+    )

@@ -64,14 +64,32 @@ def batch_shardings(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
 
 
-def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int):
+def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int,
+                            tile_shard: bool = False,
+                            gather_budget: int | None = None):
     """Build the jitted sharded step.
 
     The returned function takes (state, cameras, batches) where every
     camera/batch leaf has a leading axis of size dp_batch (>= the mesh's dp
     extent, a multiple of it) and returns (state, metrics) with metrics
     averaged over the batch.
+
+    tile_shard=True routes the render through the tile-sharded compositor
+    (parallel/tile_shard.py): the compositing work for each camera is
+    distributed over the "gauss" axis with a frustum-culled all-gather,
+    instead of every device compositing the full image from a full-capacity
+    gather. Requires dp == 1 (one camera per step, the reference's regime
+    — gaussian_splatting.py asserts one camera at :637).
     """
+    compositor = None
+    if tile_shard:
+        if mesh.shape["dp"] != 1:
+            raise ValueError("tile_shard requires a dp=1 mesh")
+        from gaussiangrasper_tpu.parallel.tile_shard import (
+            tile_sharded_compositor,
+        )
+
+        compositor = tile_sharded_compositor(mesh, gather_budget=gather_budget)
 
     def step_fn(
         state: TrainState,
@@ -85,6 +103,18 @@ def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int)
                 return train_loss(
                     ms, state.alive, cam, batch, state.step, cfg, probe=probe
                 )
+
+            if compositor is not None:
+                # shard_map does not vmap: composite the (single) camera
+                # through the tile-sharded path directly.
+                cam0 = jax.tree.map(lambda l: l[0], cameras)
+                batch0 = jax.tree.map(lambda l: l[0], batches)
+                total, aux = train_loss(
+                    ms, state.alive, cam0, batch0, state.step, cfg,
+                    probe=probes[0], compositor=compositor,
+                )
+                auxs = jax.tree.map(lambda l: l[None], aux)
+                return total, auxs
 
             totals, auxs = jax.vmap(one)(cameras, batches, probes)
             return jnp.mean(totals), auxs

@@ -16,9 +16,11 @@ from gaussiangrasper_tpu.engine.train_state import init_train_state
 from gaussiangrasper_tpu.models.efd import init_mlp
 from gaussiangrasper_tpu.models.model import train_loss
 from gaussiangrasper_tpu.parallel import (
+    composite_tile_sharded,
     make_mesh,
     make_sharded_train_step,
     shard_train_state,
+    tile_sharded_compositor,
 )
 
 pytestmark = pytest.mark.skipif(
@@ -95,6 +97,128 @@ def test_sharded_state_layout():
     # fea_up replicated
     w0 = next(iter(sharded.fea_up.values()))
     assert len({s.data.shape for s in w0.addressable_shards}) == 1
+
+
+class TestTileSharded:
+    """The north-star render path: Gaussians sharded, culled survivors
+    all-gathered, image tiles composited in per-device bands. Must match
+    the single-device pipeline bit-for-bit (images AND gradients)."""
+
+    def _scene(self, n=600, width=96, height=80, channels=5):
+        import tests.test_rasterize as R
+
+        scene = R.make_scene(jax.random.key(9), n, width=width,
+                             height=height, n_channels=channels)
+        proj = R.project_scene(scene)
+        return scene, proj
+
+    def test_matches_unsharded_images_and_grads(self):
+        from gaussiangrasper_tpu.ops.rasterize import (
+            RasterizeConfig, rasterize_projected,
+        )
+
+        scene, proj = self._scene()
+        mesh = make_mesh(gauss=8)
+        cfg = RasterizeConfig(tile_chunk=4)
+        bg = jnp.linspace(0.0, 1.0, 5)
+        w, h = scene["cam"].width, scene["cam"].height
+        target = jax.random.uniform(jax.random.key(1), (h, w, 5))
+
+        def loss_with(compositor):
+            def loss(xys, conics, opac, colors):
+                p = proj._replace(xys=xys, conics=conics)
+                out = compositor(p, colors, opac, bg, w, h, cfg)
+                return jnp.mean(jnp.abs(out["image"] - target)), out
+
+            return loss
+
+        args = (proj.xys, proj.conics, scene["opacities"], scene["colors"])
+        (l_ref, out_ref), g_ref = jax.value_and_grad(
+            loss_with(rasterize_projected), argnums=(0, 1, 2, 3),
+            has_aux=True)(*args)
+        sharded = tile_sharded_compositor(mesh)
+        (l_sh, out_sh), g_sh = jax.value_and_grad(
+            loss_with(sharded), argnums=(0, 1, 2, 3), has_aux=True)(*args)
+
+        np.testing.assert_allclose(np.asarray(out_sh["image"]),
+                                   np.asarray(out_ref["image"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_sh["alpha"]),
+                                   np.asarray(out_ref["alpha"]), atol=1e-6)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+        # no drops at the default (full) gather budget
+        assert int(out_sh["bins"].gather_overflow) == 0
+        assert int(out_sh["bins"].gathered_rows) > 0
+
+    def test_gather_budget_reports_overflow(self):
+        from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+
+        scene, proj = self._scene(n=320)
+        mesh = make_mesh(gauss=8)
+        bg = jnp.zeros(5)
+        w, h = scene["cam"].width, scene["cam"].height
+        # budget of 2 rows/device cannot hold ~40 visible rows/shard
+        out = composite_tile_sharded(
+            proj, scene["colors"], scene["opacities"], bg, w, h,
+            RasterizeConfig(tile_chunk=4), mesh=mesh, gather_budget=2,
+        )
+        assert int(out["bins"].gather_overflow) > 0
+
+    def test_render_through_model_compositor_hook(self):
+        """models.model.render(compositor=...) routes the fused 39-channel
+        pass through the sharded composite."""
+        from gaussiangrasper_tpu.models.gaussian_field import init_random
+        from gaussiangrasper_tpu.models.model import GaussianSplatConfig, render
+        from gaussiangrasper_tpu.core.cameras import Camera
+
+        field, alive = init_random(jax.random.PRNGKey(3), 120, extent=1.5,
+                                   feature_dim=8, capacity=128,
+                                   init_scale=0.08)
+        field = field._replace(means=field.means + jnp.array([0., 0., -3.]))
+        cam = Camera.create(fx=60., fy=60., cx=32., cy=24.,
+                            camera_to_world=jnp.eye(4)[:3], width=64,
+                            height=48)
+        cfg = GaussianSplatConfig(feature_dim=8)
+        mesh = make_mesh(gauss=8)
+        ref = render(field, alive, cam, 0, cfg)
+        sh = render(field, alive, cam, 0, cfg,
+                    compositor=tile_sharded_compositor(mesh))
+        for k in ("rgb", "feature", "depth", "normal"):
+            np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(ref[k]),
+                                       atol=1e-6, err_msg=k)
+        # dead capacity slots (128 cap, 120 alive) are not gathered
+        assert int(sh["bins"].gathered_rows) <= 120
+
+    def test_tile_sharded_train_step_matches(self):
+        """The full sharded train step with tile_shard=True produces the
+        same loss/psnr and parameter update as the round-1 full-gather
+        step (dp=1 mesh, one camera)."""
+        cfg = T.small_cfg()
+        rng = np.random.default_rng(3)
+        state, cam = build()
+        mesh = make_mesh(gauss=8)
+
+        b = 1
+        cams = jax.tree.map(lambda l: jnp.broadcast_to(l, (b,) + l.shape), cam)
+        batches = batch_of(rng, b)
+
+        results = {}
+        for name, kw in (("full", {}), ("tile", {"tile_shard": True})):
+            st = shard_train_state(build()[0], mesh)
+            step = make_sharded_train_step(mesh, cfg, 128, **kw)
+            st2, metrics = step(st, cams, batches)
+            results[name] = (np.asarray(st2.field.means),
+                             float(metrics["loss"]), float(metrics["psnr"]))
+        np.testing.assert_allclose(results["tile"][0], results["full"][0],
+                                   atol=1e-6)
+        assert results["tile"][1] == pytest.approx(results["full"][1],
+                                                   rel=1e-5)
+
+    def test_tile_shard_rejects_dp_mesh(self):
+        with pytest.raises(ValueError, match="dp=1"):
+            make_sharded_train_step(make_mesh(dp=2), T.small_cfg(), 128,
+                                    tile_shard=True)
 
 
 def test_sharded_host_loop_cli(tmp_path):
