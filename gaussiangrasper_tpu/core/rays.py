@@ -35,10 +35,49 @@ class RaySamples(NamedTuple):
         return self.ends - self.starts
 
 
+VR_IPD = 0.064
+"""Interpupillary distance in meters for the stereo camera models
+(ref cameras.py:690: scene scale must be true to life)."""
+
+
+def undistort_coords(
+    dx: jax.Array, dy: jax.Array, distortion: jax.Array, iters: int = 10
+) -> Tuple[jax.Array, jax.Array]:
+    """Iteratively invert the OpenCV radial(k1..k4)+tangential(p1,p2) model
+    on normalized-plane coordinates (the reference's
+    camera_utils.radial_and_tangential_undistort, used per-ray at
+    cameras.py:645-648; Newton steps on the residual)."""
+    k1, k2, k3, k4, p1, p2 = (distortion[i] for i in range(6))
+
+    def residual(xu, yu):
+        r2 = xu * xu + yu * yu
+        d = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        fx = d * xu + 2 * p1 * xu * yu + p2 * (r2 + 2 * xu * xu) - dx
+        fy = d * yu + 2 * p2 * xu * yu + p1 * (r2 + 2 * yu * yu) - dy
+        return fx, fy
+
+    def newton(_, xy):
+        xu, yu = xy
+        fx, fy = residual(xu, yu)
+        # numerical Jacobian by forward differences (matches the reference)
+        eps = 1e-6
+        fx_x, fy_x = residual(xu + eps, yu)
+        fx_y, fy_y = residual(xu, yu + eps)
+        a, b = (fx_x - fx) / eps, (fx_y - fx) / eps
+        c, d = (fy_x - fy) / eps, (fy_y - fy) / eps
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        return (xu - (d * fx - b * fy) / det, yu - (-c * fx + a * fy) / det)
+
+    xu, yu = jax.lax.fori_loop(0, iters, newton, (dx, dy))
+    return xu, yu
+
+
 def generate_rays(
     camera: Camera,
     coords: Optional[jax.Array] = None,
     camera_type: str = "perspective",
+    distortion: Optional[jax.Array] = None,
 ) -> RayBundle:
     """Rays through pixel centers. coords: (..., 2) integer (row, col);
     default = the full image grid. OpenGL convention: camera looks down
@@ -46,13 +85,62 @@ def generate_rays(
 
     camera_type mirrors the reference's CameraType ray branches
     (cameras.py:501-880): "perspective", "fisheye" (equidistant: the
-    normalized-plane radius is the angle from the optical axis), or
-    "equirectangular" (pixel grid = (longitude, latitude))."""
+    normalized-plane radius is the angle from the optical axis),
+    "equirectangular" (pixel grid = (longitude, latitude)),
+    "omnidirectional_l"/"omnidirectional_r" (ODS: equirect directions with
+    ray origins on an IPD/2 circle, ref :664-720), and
+    "vr180_l"/"vr180_r" (half-sphere directions with a fixed horizontal
+    eye offset, ref :723-780).
+
+    distortion: optional (6,) OpenCV params (k1 k2 k3 k4 p1 p2) inverted
+    per ray for the perspective/fisheye models (ref cameras.py:640-648;
+    not applied to the panoramic models, same as the reference).
+    """
     if coords is None:
         ys, xs = jnp.mgrid[0 : camera.height, 0 : camera.width]
         coords = jnp.stack([ys, xs], axis=-1)
     y = coords[..., 0].astype(jnp.float32) + 0.5
     x = coords[..., 1].astype(jnp.float32) + 0.5
+    r = camera.camera_to_world[:3, :3]
+    origin = camera.camera_to_world[:3, 3]
+
+    if camera_type in ("omnidirectional_l", "omnidirectional_r",
+                       "vr180_l", "vr180_r"):
+        # coord = normalized-plane coordinates, like the reference's
+        # coord_stack (cameras.py:683-686, 737-741)
+        cu = (x - camera.cx) / camera.fx
+        cv = (y - camera.cy) / camera.fy
+        right = camera_type.endswith("_r")
+        is_vr180 = camera_type.startswith("vr180")
+        theta = -jnp.pi * (cu / 2.0 if is_vr180 else cu)
+        phi = jnp.pi * (0.5 - cv)
+        dirs_cam = jnp.stack(
+            [-jnp.sin(theta) * jnp.sin(phi), jnp.cos(phi),
+             -jnp.cos(theta) * jnp.sin(phi)], axis=-1,
+        )
+        side = 1.0 if right else -1.0
+        if is_vr180:
+            # fixed horizontal interocular offset (ref :757-760)
+            local = jnp.stack(
+                [jnp.full_like(theta, side * VR_IPD / 2.0),
+                 jnp.zeros_like(theta), jnp.zeros_like(theta)], axis=-1,
+            )
+        else:
+            # circle of ODS ray origins in the local x / -z plane (ref :705-710)
+            local = jnp.stack(
+                [side * (VR_IPD / 2.0) * jnp.cos(theta),
+                 jnp.zeros_like(theta),
+                 -side * (VR_IPD / 2.0) * jnp.sin(theta)], axis=-1,
+            )
+        dirs = dirs_cam @ r.T
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = local @ r.T + origin
+        pixel_area = jnp.broadcast_to(
+            1.0 / (camera.fx * camera.fy), dirs[..., :1].shape
+        )
+        return RayBundle(origins=origins, directions=dirs,
+                         pixel_area=pixel_area)
+
     if camera_type == "equirectangular":
         # longitude in [-pi, pi], latitude in [-pi/2, pi/2] over the image
         lon = (x / camera.width - 0.5) * (2.0 * jnp.pi)
@@ -64,6 +152,8 @@ def generate_rays(
     else:
         dx = (x - camera.cx) / camera.fx
         dy = -(y - camera.cy) / camera.fy
+        if distortion is not None:
+            dx, dy = undistort_coords(dx, dy, jnp.asarray(distortion))
         if camera_type == "fisheye":
             theta = jnp.sqrt(dx * dx + dy * dy)  # angle from optical axis
             theta = jnp.clip(theta, 1e-9, jnp.pi)
@@ -73,11 +163,10 @@ def generate_rays(
             )
         else:
             dirs_cam = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
-    r = camera.camera_to_world[:3, :3]
     dirs = dirs_cam @ r.T
     norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     dirs = dirs / norm
-    origins = jnp.broadcast_to(camera.camera_to_world[:3, 3], dirs.shape)
+    origins = jnp.broadcast_to(origin, dirs.shape)
     pixel_area = jnp.broadcast_to(
         1.0 / (camera.fx * camera.fy), dirs[..., :1].shape
     )

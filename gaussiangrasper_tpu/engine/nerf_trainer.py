@@ -52,6 +52,12 @@ class NerfTrainerConfig:
     experiment_name: str = "nerfacto"
     max_iterations: int = 5000
     rays_per_batch: int = 1024
+    pixel_sampler: str = "uniform"
+    """"uniform", "patch" (patch-based losses) or "pair" (pair/ranking
+    losses) — the reference's PixelSampler zoo (pixel_samplers.py:53,
+    :291, :376)."""
+    patch_size: int = 8
+    pair_radius: int = 2
     lr: float = 5e-3
     depth_lambda: float = 0.0      # depth L1 weight (depth-nerfacto)
     eikonal_lambda: float = 0.1    # neus family
@@ -191,19 +197,25 @@ class NerfTrainer:
                                max_steps=cfg.max_iterations)
         n = len(self.dm)
         weights = self._weights()
+        from gaussiangrasper_tpu.data.pixel_samplers import make_pixel_sampler
+
+        sampler = make_pixel_sampler(
+            cfg.pixel_sampler, cfg.rays_per_batch,
+            patch_size=cfg.patch_size, pair_radius=cfg.pair_radius,
+        )
         for step in range(cfg.max_iterations):
             idx = int(self.rng.integers(0, n))
             cam, batch = self.dm.get_batch(idx)
             img = batch["image"]
-            ys = jnp.asarray(self.rng.integers(0, cam.height, cfg.rays_per_batch))
-            xs = jnp.asarray(self.rng.integers(0, cam.width, cfg.rays_per_batch))
+            pix = sampler.sample(self.rng, cam.height, cam.width)
+            ys, xs = jnp.asarray(pix[:, 0]), jnp.asarray(pix[:, 1])
             coords = jnp.stack([ys, xs], -1)
             target = img[ys, xs]
             target_depth = batch["depth"][ys, xs]
             sam = batch.get("sam_mask")
             target_sem = (
                 sam[ys, xs] if sam is not None
-                else jnp.full((cfg.rays_per_batch,), -1, jnp.int32)
+                else jnp.full((ys.shape[0],), -1, jnp.int32)
             )
             if (
                 self.grid is not None
@@ -218,7 +230,7 @@ class NerfTrainer:
                 jnp.asarray(idx % max(cfg.model.num_appearance_embeds, 1)),
                 self.grid, sub, cfg.model, cfg.lr, weights,
             )
-            writer.step(step, metrics, pixels=cfg.rays_per_batch)
+            writer.step(step, metrics, pixels=int(ys.shape[0]))
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
                 path = self._save(step + 1)
                 print(f"saved {path}")
