@@ -120,17 +120,49 @@ def _nerf(field: str, model_kwargs: dict | None = None, **trainer_kwargs):
 
 
 def _generfacto(args) -> None:
-    """Gated stub (the reference's text-to-3D generfacto needs Stable
-    Diffusion / DeepFloyd guidance weights, models/generfacto.py +
-    generative/ — this zero-egress image cannot fetch them). Mirrors the
-    reference's external-method install-hint pattern
-    (configs/external_methods.py)."""
-    raise SystemExit(
-        "generfacto requires diffusion-guidance weights (StableDiffusion/"
-        "DeepFloyd) which are unavailable in this environment. Provide "
-        "cached weights and register a method via GGT_METHOD_CONFIGS or "
-        "the gaussiangrasper_tpu.method_configs entry point."
+    """Text-to-3D via Score Distillation Sampling (ref models/generfacto.py
+    + generative/). The full scaffold is implemented (random orbit
+    cameras, SDS, opacity prior — models/generative.py); the denoiser is
+    pluggable: GGT_GUIDANCE=color runs the analytic test guidance,
+    GGT_GUIDANCE_DIR=<path> wires locally cached diffusion weights, and
+    with neither the install hint prints (the reference's external-method
+    pattern, configs/external_methods.py)."""
+    import os
+
+    import jax
+
+    from gaussiangrasper_tpu.models import generative as gen
+
+    if os.environ.get("GGT_GUIDANCE") == "color":
+        guidance = gen.ColorTargetGuidance()
+    elif os.environ.get("GGT_GUIDANCE_DIR"):
+        guidance = gen.StableDiffusionGuidance(os.environ["GGT_GUIDANCE_DIR"])
+    else:
+        raise SystemExit(
+            "generfacto requires diffusion-guidance weights "
+            "(StableDiffusion/DeepFloyd) which are unavailable in this "
+            "environment. Set GGT_GUIDANCE_DIR=<cached weights> to use "
+            "them, or GGT_GUIDANCE=color for the analytic scaffold test "
+            "guidance (models/generative.py)."
+        )
+    cfg = gen.GenerfactoConfig(max_iterations=args.max_iterations)
+    params, render_view = gen.train_generfacto(
+        jax.random.PRNGKey(args.seed), guidance, cfg,
+        progress=lambda i, l: (i % 50 == 0) and print(f"[{i}] sds={l:.4f}"),
     )
+    out_dir = args.output_dir / args.experiment_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cam, _, _ = gen.random_orbit_camera(
+        jax.random.PRNGKey(0), cfg.resolution, radius_mean=cfg.radius_mean
+    )
+    rgb = render_view(cam)
+    import numpy as np
+    from PIL import Image
+
+    Image.fromarray(
+        (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+    ).save(out_dir / "generated.png")
+    print(f"wrote {out_dir / 'generated.png'}")
 
 
 # the reference's registered method set (configs/method_configs.py:98-668),
