@@ -51,14 +51,21 @@ def classic_instance_masks(
     return out
 
 
-def sam_instance_masks(img: np.ndarray, model_name: str, min_area: int = 200):
+def sam_instance_masks(img: np.ndarray, model_name: str, min_area: int = 200,
+                       model=None, proc=None):
     """Automatic SAM masks over a point grid (the lang_sam analog without
-    the text grounding — grounding needs GroundingDINO weights)."""
-    import torch
-    from transformers import SamModel, SamProcessor
+    the text grounding — grounding needs GroundingDINO weights).
 
-    model = SamModel.from_pretrained(model_name)
-    proc = SamProcessor.from_pretrained(model_name)
+    model/proc: optional pre-built SamModel/SamProcessor (dependency
+    injection — tests exercise the mask-assembly glue with stubs; the
+    default loads cached weights by name)."""
+    import torch
+
+    if model is None or proc is None:
+        from transformers import SamModel, SamProcessor
+
+        model = SamModel.from_pretrained(model_name)
+        proc = SamProcessor.from_pretrained(model_name)
     h, w = img.shape[:2]
     gy, gx = np.mgrid[0:h:max(h // 8, 1), 0:w:max(w // 8, 1)]
     points = [[[int(x), int(y)]] for y, x in zip(gy.ravel(), gx.ravel())]

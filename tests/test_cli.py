@@ -161,6 +161,7 @@ def test_multi_scene_train(dataset_dir, tmp_path):
         assert len(ckpts) == 1
 
 
+@pytest.mark.slow
 def test_nerf_method_from_registry(dataset_dir, tmp_path, monkeypatch):
     from gaussiangrasper_tpu.configs import METHODS, get_method
     from gaussiangrasper_tpu.scripts import train
@@ -188,6 +189,7 @@ def test_external_method_env_registration(monkeypatch):
     importlib.reload(m)
 
 
+@pytest.mark.slow
 def test_training_converges_on_plane(tmp_path):
     """Quality regression: 150 trainer-loop iterations (densification +
     full loss set, reference hyperparams) must climb PSNR on a smooth
@@ -242,6 +244,7 @@ def test_training_converges_on_plane(tmp_path):
     assert psnr1 > psnr0 + 3, (psnr0, psnr1)
 
 
+@pytest.mark.slow
 def test_depth_nerfacto_method(dataset_dir, tmp_path):
     from gaussiangrasper_tpu.scripts import train
 
@@ -255,7 +258,10 @@ def test_depth_nerfacto_method(dataset_dir, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "method", ["mipnerf", "instant-ngp", "tensorf", "dnerf", "semantic-nerfw"]
+    "method",
+    ["mipnerf"]  # one representative runs by default...
+    + [pytest.param(m, marks=pytest.mark.slow)  # ...the rest are nightly
+       for m in ("instant-ngp", "tensorf", "dnerf", "semantic-nerfw")],
 )
 def test_model_zoo_methods_train_end_to_end(dataset_dir, tmp_path, method):
     """Every registered ray-marched method trains for 2 steps and

@@ -237,6 +237,7 @@ class TestVariants:
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_deformation_gradient_reaches_warp(self):
         cfg = tiny_cfg("vanilla", deformation=True)
         p = init_nerf(jax.random.key(0), cfg)

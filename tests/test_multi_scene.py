@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tests.test_engine as T
 from gaussiangrasper_tpu.engine.multi_scene import (
@@ -21,6 +22,7 @@ def build_scene(seed):
     return init_train_state(jax.random.PRNGKey(seed + 1), field, alive, fea_up), cam
 
 
+@pytest.mark.slow
 def test_two_scenes_advance_together():
     cfg = T.small_cfg()
     rng = np.random.default_rng(0)

@@ -151,6 +151,7 @@ class TestTileSharded:
         assert int(out_sh["bins"].gather_overflow) == 0
         assert int(out_sh["bins"].gathered_rows) > 0
 
+    @pytest.mark.slow
     def test_gather_budget_reports_overflow(self):
         from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
 
@@ -165,6 +166,7 @@ class TestTileSharded:
         )
         assert int(out["bins"].gather_overflow) > 0
 
+    @pytest.mark.slow
     def test_render_through_model_compositor_hook(self):
         """models.model.render(compositor=...) routes the fused 39-channel
         pass through the sharded composite."""
@@ -221,6 +223,7 @@ class TestTileSharded:
                                     tile_shard=True)
 
 
+@pytest.mark.slow
 def test_sharded_host_loop_cli(tmp_path):
     """--mesh CLI path: sharded training loop end-to-end on the virtual
     mesh, with refinement and checkpointing."""
