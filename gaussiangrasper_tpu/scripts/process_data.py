@@ -591,7 +591,22 @@ def main(argv=None) -> None:
     po.add_argument("--data", type=Path, required=True,
                     help="ODM project root (cameras.json, images/, odm_report/)")
     po.add_argument("--output", type=Path, required=True)
+    ph = sub.add_parser("hloc")
+    ph.add_argument("--data", type=Path, required=True)
+    ph.add_argument("--output", type=Path, required=True)
     args = p.parse_args(argv)
+
+    if args.mode == "hloc":
+        # the reference's hloc backend (process_data/hloc_utils.py) drives
+        # the Hierarchical-Localization toolbox, an external SDK this
+        # image does not ship — the install-hint gate mirrors the
+        # reference's ImportError message (hloc_utils.py:32-44)
+        raise SystemExit(
+            "the hloc backend needs the Hierarchical-Localization toolbox "
+            "(github.com/cvg/Hierarchical-Localization), which is not "
+            "installed. Use the `images` subcommand with a COLMAP "
+            "reconstruction instead."
+        )
 
     if args.mode == "images":
         process_images(args.data, args.output, args.skip_downscale)
