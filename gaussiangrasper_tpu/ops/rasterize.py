@@ -57,23 +57,21 @@ class RasterizeConfig:
     results are identical for any tile size >= inclusion granularity."""
     max_gaussians_per_tile: int = 1024
     """Per-tile capacity K. Overflow keeps the K nearest (front-most)."""
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 32
     """Cap on tiles one Gaussian may cover; 0 = the whole tile grid (exact
     but allocates an (N, num_tiles) pair matrix — only viable for small
-    scenes). 64 covers a 128x128 px splat at tile_size 16; the cull
-    thresholds (cull_screen_size 0.15) keep real splats under that.
-    Oversized rectangles are truncated row-major."""
+    scenes). The binning pair sort runs over the N x MT grid, so this cap
+    is the sort-cost knob: 32 covers a ~90x90 px splat at tile_size 16
+    post alpha-cutoff shrink (cull_screen_size 0.15 keeps real splats
+    under that). Oversized rectangles are truncated row-major and counted
+    in TileBins.dropped_tiles — never silent."""
     tile_chunk: int = 8
     """Tiles composited per scan step. Smaller chunks sharpen the
     work-proportional path's early exit (the whole chunk walks to its
     slowest tile; occupancy sorting keeps chunks homogeneous), larger
-    chunks feed the MXU bigger flat matmuls."""
-    pair_capacity_per_gaussian: int = 16
-    """Average (gaussian, tile) pairs budgeted per Gaussian: the binning
-    sort runs over a compacted buffer of N * this many pairs instead of
-    the N * max_tiles_per_gaussian grid. The budget is pooled across all
-    Gaussians (one splat may use many slots); overflow drops the DEEPEST
-    pairs and is reported in TileBins.dropped_tiles."""
+    chunks feed the MXU bigger flat matmuls; 8 measured best fwd+bwd on
+    the v5e at the 800x800/200k bench point (242 ms vs 248 at 32), with
+    the fused-attrs slab gather flattening the old per-chunk overhead."""
     backend: str = "auto"
     """'pallas' (TPU kernel; interpreted elsewhere), 'xla' (pure lax, runs
     everywhere), or 'auto' (pallas on TPU, xla otherwise)."""
@@ -198,51 +196,32 @@ def bin_gaussians(
                                       y[:, None] - (py0 + (ts - 1))), 0.0)
         keep = keep & (ddx * ddx + ddy * ddy <= r_cut2[:, None])
 
-    # Compact the kept pairs into a PAIR_CAP buffer (positions = running
-    # rank in (depth, tile) lexicographic order, so stability is free),
-    # then sort ONE packed int32 key per pair instead of the round-1
-    # (key, payload) sort over the full N*MT grid — the pair sort was the
-    # binning bottleneck on the v5e.
+    # Sort the (gaussian, tile) grid with ONE packed int32 key per pair:
+    # key = tid << rank_bits | depth_rank, pruned/invalid pairs -> a
+    # sentinel that sorts last. Unique keys make the sort stable by
+    # construction. (Round-1 sorted a (key, payload) pair over the same
+    # grid; a measured round-2 attempt that first compacted pairs into a
+    # smaller buffer via cumsum+scatter was SLOWER on the v5e — TPU
+    # scatters cost more than the sort saved.)
     row_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)  # (N,)
-    row_off = jnp.cumsum(row_counts) - row_counts
-    within = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - keep
-    pos = row_off[:, None] + within  # (N, MT)
-    pair_cap = n * min(MT, max(config.pair_capacity_per_gaussian, 1))
-    total_kept = row_off[-1] + row_counts[-1]
-    dropped_pairs = jnp.maximum(total_kept - pair_cap, 0)
-
     rank = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, MT)
     )
-    scatter_pos = jnp.where(keep, pos, pair_cap).reshape(-1)
-
+    n_pairs = n * MT
     nb = max(int(n - 1).bit_length(), 1)  # bits for the depth rank
     if (T + 1) << nb <= jnp.iinfo(jnp.int32).max:
-        # Packed single-key sort: key = tid << nb | rank. Unique keys, so
-        # the sort is stable by construction.
-        packed = ((tid << nb) | rank).reshape(-1)
         sentinel = jnp.int32(T << nb)
-        buf = jnp.full((pair_cap,), sentinel, jnp.int32)
-        buf = buf.at[scatter_pos].set(
-            jnp.where(keep.reshape(-1), packed, sentinel), mode="drop"
-        )
-        sorted_keys = jax.lax.sort(buf)
+        packed = jnp.where(keep, (tid << nb) | rank, sentinel)
+        sorted_keys = jax.lax.sort(packed.reshape(-1))
         sorted_rank = sorted_keys & ((1 << nb) - 1)
         boundaries = jnp.searchsorted(
             sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << nb)
         )
     else:
-        # Capacity too large to pack: two-array stable sort (still over
-        # the compacted buffer, not the N*MT grid).
-        kbuf = jnp.full((pair_cap,), jnp.int32(T))
-        rbuf = jnp.zeros((pair_cap,), jnp.int32)
-        flat_keep = keep.reshape(-1)
-        kbuf = kbuf.at[scatter_pos].set(
-            jnp.where(flat_keep, tid.reshape(-1), T), mode="drop"
-        )
-        rbuf = rbuf.at[scatter_pos].set(rank.reshape(-1), mode="drop")
+        # Capacity too large to pack: two-array stable sort.
+        keys = jnp.where(keep, tid, T).reshape(-1)
         sorted_keys, sorted_rank = jax.lax.sort(
-            (kbuf, rbuf), num_keys=1, is_stable=True
+            (keys, rank.reshape(-1)), num_keys=1, is_stable=True
         )
         boundaries = jnp.searchsorted(
             sorted_keys, jnp.arange(T + 1, dtype=jnp.int32)
@@ -255,13 +234,11 @@ def bin_gaussians(
     # map depth ranks back to original Gaussian indices.
     pos2 = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
     in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
-    pos2 = jnp.clip(pos2, 0, pair_cap - 1)
+    pos2 = jnp.clip(pos2, 0, n_pairs - 1)
     tile_gidx = jnp.where(in_seg, order[sorted_rank[pos2]], -1)
 
     overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
-    dropped_tiles = (
-        jnp.sum(jnp.maximum(span - MT, 0)) + dropped_pairs
-    ).astype(jnp.int32)
+    dropped_tiles = jnp.sum(jnp.maximum(span - MT, 0)).astype(jnp.int32)
     # Report the number of binned tiles per Gaussian (post-prune/post-cap),
     # in the original (unsorted) index order.
     num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(row_counts)

@@ -48,6 +48,7 @@ clamp/cutoff, same monotone two-carry transmittance cut).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -58,7 +59,10 @@ ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
 LOG_EPS = -9.2103403719761836  # log(1e-4)
 
-KC = 128  # Gaussians walked per while-loop step
+KC = int(os.environ.get("GGT_KC", "128"))
+"""Gaussians walked per while-loop step. Larger slabs feed the MXU a
+bigger contraction (the tri-matmul is (KC, KC) @ (KC, TC*P)) at the cost
+of coarser early-exit granularity; env-overridable for perf sweeps."""
 
 
 def _pixel_coords(tile_ids, tw: int, ts: int, dtype):
@@ -86,17 +90,29 @@ def _slab_alpha(xy, con, opac, px, py):
     return jnp.where(ok, alpha, 0.0), dx, dy, sigma, raw
 
 
-def _gather_slab(gidx, s, xys, conics, opacities, colors):
-    """Gather one KC-slab of per-Gaussian attributes in k-major layout
-    (in-loop gather: only touched slabs generate HBM traffic)."""
+def _pack_attrs(xys, conics, opacities, colors):
+    """One (N, 6+C) attribute table: xy(2) conic(3) opac(1) color(C).
+    TPU gathers carry a large fixed cost per gather op (measured ~250 us
+    of the ~330 us round-2 slab iteration was the FOUR per-slab gathers),
+    so the walk gathers one fused table instead. The layout matches the
+    backward's fused scatter-add accumulator."""
+    return jnp.concatenate(
+        [xys, conics, opacities[:, None], colors], axis=1
+    )
+
+
+def _gather_slab(gidx, s, attrs):
+    """Gather one KC-slab of fused per-Gaussian attributes in k-major
+    layout (in-loop gather: only touched slabs generate HBM traffic)."""
     gi = jax.lax.dynamic_slice_in_dim(gidx, s * KC, KC, axis=1)  # (TC, KC)
     gi = gi.T  # (KC, TC)
     valid = gi >= 0
     g = jnp.maximum(gi, 0)
-    xy = xys[g]
-    con = conics[g]
-    opac = jnp.where(valid, opacities[g], 0.0)
-    col = colors[g]
+    a = attrs[g]  # (KC, TC, 6+C)
+    xy = a[..., 0:2]
+    con = a[..., 2:5]
+    opac = jnp.where(valid, a[..., 5], 0.0)
+    col = a[..., 6:]
     return g, valid, xy, con, opac, col
 
 
@@ -125,12 +141,12 @@ def _cumsum_k(tri, x):
     return _mat_k(tri, x)
 
 
-def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
+def _chunk_fwd(tile_ids, counts, gidx, attrs, bg,
                tw: int, ts: int):
     """Forward-composite one chunk with early exit.
     Returns (out (TC,P,C), alpha, logt, cum_all, s_stop)."""
-    dtype = xys.dtype
-    C = colors.shape[-1]
+    dtype = attrs.dtype
+    C = attrs.shape[-1] - 6
     TC, K = gidx.shape
     n_slabs = K // KC
     P = ts * ts
@@ -145,9 +161,7 @@ def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
 
     def body(state):
         s, accum, cum_all, logt_comp = state
-        _, _, xy, con, opac, col = _gather_slab(
-            gidx, s, xys, conics, opacities, colors
-        )
+        _, _, xy, con, opac, col = _gather_slab(gidx, s, attrs)
         alpha, *_ = _slab_alpha(xy, con, opac, px, py)
         log_t = jnp.log1p(-alpha)  # (KC, TC, P)
         cum = _cumsum_k(tri, log_t) + cum_all[None, :, :]
@@ -170,7 +184,7 @@ def _chunk_fwd(tile_ids, counts, gidx, xys, conics, opacities, colors, bg,
     return out, 1.0 - t_final, logt, cum_all, s_stop
 
 
-def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
+def _chunk_bwd(tile_ids, gidx, attrs, bg,
                g_out, g_alpha, logt, cum_all_total, s_stop,
                tw: int, ts: int):
     """ONE reverse walk per chunk (the CUDA backward): from the forward's
@@ -184,9 +198,9 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
                      - (<bg, g> - g_alpha_p) * T_final/(1-alpha)
     then the EWA chain to (xy, conic, opacity) as in the Pallas kernels.
     """
-    dtype = xys.dtype
+    dtype = attrs.dtype
     TC, K = gidx.shape
-    C = colors.shape[-1]
+    A = attrs.shape[-1]
     P = ts * ts
     px, py = _pixel_coords(tile_ids, tw, ts, dtype)
 
@@ -196,22 +210,18 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
     tri = _tri(dtype)
     rev = tri.T  # out[k] = sum_{j>=k} x[j]
 
-    # Gradient tables are k-major (K, TC, ...) so the per-slab writes are
-    # leading-axis dynamic_update_slices; transposed once at the end.
-    gxy0 = jnp.zeros((K, TC, 2), dtype)
-    gcon0 = jnp.zeros((K, TC, 3), dtype)
-    gopac0 = jnp.zeros((K, TC), dtype)
-    gcol0 = jnp.zeros((K, TC, C), dtype)
+    # ONE fused gradient table in the attrs layout (k-major so per-slab
+    # writes are leading-axis dynamic_update_slices): columns are
+    # dxy(2) dconic(3) dopac(1) dcolor(C), matching _pack_attrs.
+    gattr0 = jnp.zeros((K, TC, A), dtype)
 
     def cond(state):
         s, *_ = state
         return s >= 0
 
     def body(state):
-        s, suffix, logt_after, cum_after, gxy, gcon, gopac, gcol = state
-        _, valid, xy, con, opac, col = _gather_slab(
-            gidx, s, xys, conics, opacities, colors
-        )
+        s, suffix, logt_after, cum_after, gattr = state
+        _, valid, xy, con, opac, col = _gather_slab(gidx, s, attrs)
         alpha, dx, dy, sigma, raw = _slab_alpha(xy, con, opac, px, py)
         log_t = jnp.log1p(-alpha)
 
@@ -255,28 +265,28 @@ def _chunk_bwd(tile_ids, gidx, xys, conics, opacities, colors, bg,
             "ktp,tpc->ktc", w, g_out, preferred_element_type=jnp.float32
         )
 
-        vz3 = lambda x: jnp.where(valid[..., None], x, 0.0)
-        upd = functools.partial(
-            jax.lax.dynamic_update_slice_in_dim, start_index=s * KC, axis=0
+        slab_grad = jnp.concatenate(
+            [jnp.stack([gx, gy], axis=-1),
+             jnp.stack([ga, gb, gc2], axis=-1),
+             dopac_k[..., None], gcol_k], axis=-1,
         )
-        gxy = upd(gxy, vz3(jnp.stack([gx, gy], axis=-1)))
-        gcon = upd(gcon, vz3(jnp.stack([ga, gb, gc2], axis=-1)))
-        gopac = upd(gopac, jnp.where(valid, dopac_k, 0.0))
-        gcol = upd(gcol, vz3(gcol_k))
+        slab_grad = jnp.where(valid[..., None], slab_grad, 0.0)
+        gattr = jax.lax.dynamic_update_slice_in_dim(
+            gattr, slab_grad, s * KC, axis=0
+        )
 
         suffix = suffix + jnp.sum(wgc, axis=0)
         logt_after = logt_after + jnp.sum(log_t_c, axis=0)
         cum_after = cum_after + jnp.sum(log_t, axis=0)
-        return (s - 1, suffix, logt_after, cum_after, gxy, gcon, gopac, gcol)
+        return (s - 1, suffix, logt_after, cum_after, gattr)
 
     z = jnp.zeros_like(tail_pix)
-    init = (s_stop - 1, z, z, z, gxy0, gcon0, gopac0, gcol0)
+    init = (s_stop - 1, z, z, z, gattr0)
     state = jax.lax.while_loop(cond, body, init)
-    _, _, _, _, gxy, gcon, gopac, gcol = state
+    gattr = state[-1]
     gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
-    # back to (TC, K, ...) for the global scatter
-    tr = lambda x: jnp.swapaxes(x, 0, 1)
-    return tr(gxy), tr(gcon), tr(gopac), tr(gcol), gbg
+    # back to (TC, K, A) for the global scatter
+    return jnp.swapaxes(gattr, 0, 1), gbg
 
 
 def _pad_t(counts, gidx, tile_chunk):
@@ -314,10 +324,11 @@ def _composite_fwd(counts_f, tids, gidx, xys, conics, opacities, colors, bg,
     chunked = lambda x: x.reshape((n_chunks, tile_chunk) + x.shape[1:])
     tile_ids = chunked(_pad_ids(tids, tile_chunk))
 
+    attrs = _pack_attrs(xys, conics, opacities, colors)
+
     def fn(args):
         ids, cnt, gi = args
-        return _chunk_fwd(ids, cnt, gi, xys, conics, opacities, colors, bg,
-                          tw, ts)
+        return _chunk_fwd(ids, cnt, gi, attrs, bg, tw, ts)
 
     out, alpha, logt, cum_all, s_stop = jax.lax.map(
         fn, (tile_ids, chunked(counts), chunked(gidx_p)),
@@ -340,22 +351,21 @@ def _composite_bwd(tw, ts, tile_chunk, res, g):
     tile_ids = chunked(_pad_ids(tids, tile_chunk))
     pad_p = lambda x: jnp.pad(x, [(0, t_pad - t)] + [(0, 0)] * (x.ndim - 1))
 
+    attrs = _pack_attrs(xys, conics, opacities, colors)
+
     def fn(args):
         ids, gi, go, ga, lt, ca, ss = args
-        return _chunk_bwd(ids, gi, xys, conics, opacities, colors, bg,
-                          go, ga, lt, ca, ss, tw, ts)
+        return _chunk_bwd(ids, gi, attrs, bg, go, ga, lt, ca, ss, tw, ts)
 
-    gxy, gcon, gopac, gcol, gbg = jax.lax.map(
+    gattr, gbg = jax.lax.map(
         fn, (tile_ids, chunked(gidx_p), chunked(pad_p(g_out)),
              chunked(pad_p(g_alpha)), logt, cum_all, s_stop),
     )
-    # ONE fused scatter: per-(tile, k) grads -> per-Gaussian grads.
+    # ONE fused scatter: per-(tile, k) grads -> per-Gaussian grads (the
+    # gradient table already uses the attrs column layout, so no concat).
     flat_g = jnp.maximum(gidx_p, 0).reshape(-1)
     c = colors.shape[-1]
-    vals = jnp.concatenate(
-        [gxy.reshape(-1, 2), gcon.reshape(-1, 3),
-         gopac.reshape(-1, 1), gcol.reshape(-1, c)], axis=-1,
-    )
+    vals = gattr.reshape(-1, 6 + c)
     acc = jnp.zeros((xys.shape[0], 6 + c), vals.dtype).at[flat_g].add(vals)
     return (jnp.zeros_like(counts_f),
             np.zeros(tids.shape, jax.dtypes.float0),

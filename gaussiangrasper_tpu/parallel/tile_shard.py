@@ -35,14 +35,17 @@ caps (never silent).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; fall back for older versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from gaussiangrasper_tpu.ops.projection import ProjectedGaussians
 from gaussiangrasper_tpu.ops.rasterize import (
@@ -99,13 +102,6 @@ def composite_tile_sharded(
     th_pad = -(-th // d) * d
     hb = (th_pad // d) * ts  # band height in pixels
 
-    # Each band keeps only ~1/d of the global (gaussian, tile) pairs, so
-    # the per-band pair-sort buffer shrinks accordingly (2x slack for
-    # occupancy imbalance across bands; overflow is reported, not silent).
-    band_ppg = max(-(-2 * config.pair_capacity_per_gaussian // d), 4)
-    band_config = dataclasses.replace(
-        config, pair_capacity_per_gaussian=band_ppg
-    )
 
     # attribute layout: xy(2) depth(1) conic(3) cov2d(3) radius(1) opac(1) color(C)
     a_dim = 11 + c
@@ -139,7 +135,7 @@ def composite_tile_sharded(
             cov2d=g[:, 6:9],
         )
         out = rasterize_projected(
-            gproj, g[:, 11:], g[:, 10], bg, width, hb, band_config,
+            gproj, g[:, 11:], g[:, 10], bg, width, hb, config,
         )
         bins = out["bins"]
         stats = (
@@ -159,7 +155,7 @@ def composite_tile_sharded(
         in_specs=(spec_n, spec_n, spec_n, spec_n, spec_n, spec_n, spec_n,
                   spec_rep),
         out_specs=(out_img, out_img, (spec_rep, spec_rep, spec_rep, spec_rep)),
-        check_rep=False,
+        check_vma=False,
     )
     image, alpha, stats = fn(
         proj.xys, proj.depths, proj.conics, proj.radii, proj.cov2d,
