@@ -40,10 +40,28 @@ class ProjectedGaussians(NamedTuple):
 
 
 def compute_cov3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
-    """3D covariance (N, 3, 3) from linear scales (N, 3) and quats (N, 4)."""
+    """3D covariance (N, 3, 3) from linear scales (N, 3) and quats (N, 4).
+
+    The M @ M^T product is expanded elementwise: batched (N, 3, 3)
+    matmuls hit the MXU at 3/128 utilization and measurably dominate the
+    projection stage on the v5e; as elementwise VPU math the whole
+    projection is memory-speed."""
     R = quat_to_rotmat(quats)
-    M = R * scales[..., None, :]  # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    M = R * scales[..., None, :]  # R @ diag(s), (N, 3, 3)
+    # sigma[i, j] = sum_k M[i, k] * M[j, k], written out so it stays on
+    # the VPU (no batched-3x3 dot).
+    rows = [M[..., i, :] for i in range(3)]  # each (N, 3)
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    c00, c01, c02 = dot(rows[0], rows[0]), dot(rows[0], rows[1]), dot(rows[0], rows[2])
+    c11, c12, c22 = dot(rows[1], rows[1]), dot(rows[1], rows[2]), dot(rows[2], rows[2])
+    return jnp.stack(
+        [jnp.stack([c00, c01, c02], -1),
+         jnp.stack([c01, c11, c12], -1),
+         jnp.stack([c02, c12, c22], -1)], axis=-2,
+    )
 
 
 def project_gaussians(
@@ -88,9 +106,14 @@ def project_gaussians(
     # Guard z for the divisions below; culled rows are zeroed at the end.
     z_safe = jnp.where(valid, z_c, 1.0)
 
-    # 3D covariance in world frame, rotated into camera frame.
+    # 3D covariance in world frame, rotated into camera frame. The
+    # R_v conjugation is expanded as two broadcasted sums rather than
+    # batched (N, 3, 3) dots (MXU-hostile tiny matmuls).
     cov3d = compute_cov3d(scales, normalize(quats))
-    cov_cam = R_v @ cov3d @ R_v.T  # (N, 3, 3)
+    # tmp[n, i, j] = sum_k R_v[i, k] cov3d[n, k, j]
+    tmp = jnp.sum(R_v[None, :, :, None] * cov3d[:, None, :, :], axis=2)
+    # cov_cam[n, i, j] = sum_k tmp[n, i, k] R_v[j, k]
+    cov_cam = jnp.sum(tmp[:, :, None, :] * R_v[None, None, :, :], axis=3)
 
     # EWA Jacobian with FOV clamping (suppresses splat stretching at frustum
     # edges — same 1.3x guard band as the CUDA kernel).
