@@ -79,13 +79,13 @@ class RasterizeConfig:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        # NOTE: 'auto' currently resolves to the XLA path everywhere. The
-        # Pallas kernels are opt-in (backend="pallas") until the tunneled
-        # axon TPU in this image proves able to Mosaic-compile remotely —
-        # its remote-compile service has wedged the chip on every Pallas
-        # submission so far (even a trivial kernel), taking ~45 min to
-        # recover. See tests/test_pallas.py for the interpret-mode proof
-        # of kernel correctness.
+        # NOTE: 'auto' resolves to the XLA walk everywhere. The Pallas
+        # kernels now compile AND run on the tunneled TPU (round 2,
+        # scripts_dev/pallas_probe.py), but the Pallas BACKEND still loses
+        # end-to-end (380 vs 266 ms at the 800x800/200k bench) because it
+        # pre-gathers full (T, K) attribute tables — the op class this
+        # TPU runs slowest (docs/ROUND_NOTES.md). It stays opt-in until
+        # its data marshaling is reworked onto the sorted pair array.
         return "xla"
 
 
