@@ -145,19 +145,19 @@ def bin_gaussians(
     depths = jax.lax.stop_gradient(proj.depths)
     alive = radii > 0.0
 
-    # Global front-to-back order (culled Gaussians sort to the end).
-    sort_keys = jnp.where(alive, depths, jnp.inf)
-    order = jnp.argsort(sort_keys).astype(jnp.int32)  # (N,)
-
-    x = xys[order, 0]
-    y = xys[order, 1]
-    r = radii[order]
-    alive_s = alive[order]
+    # Everything below runs in ORIGINAL index order; depth ordering comes
+    # from the pair sort itself (one stable two-key sort replaces the
+    # round-1 global argsort + column permutes — each of those carried a
+    # measured ~25 ms fixed sort/gather latency on the v5e).
+    x = xys[:, 0]
+    y = xys[:, 1]
+    r = radii
+    alive_s = alive
 
     r_cut2 = None
     if opacities is not None:
-        opac_s = jax.lax.stop_gradient(opacities)[order]
-        cov = jax.lax.stop_gradient(proj.cov2d)[order]
+        opac_s = jax.lax.stop_gradient(opacities)
+        cov = jax.lax.stop_gradient(proj.cov2d)
         a_, b_, c_ = cov[:, 0], cov[:, 1], cov[:, 2]
         det = a_ * c_ - b_ * b_
         b_half = 0.5 * (a_ + c_)
@@ -196,52 +196,42 @@ def bin_gaussians(
                                       y[:, None] - (py0 + (ts - 1))), 0.0)
         keep = keep & (ddx * ddx + ddy * ddy <= r_cut2[:, None])
 
-    # Sort the (gaussian, tile) grid with ONE packed int32 key per pair:
-    # key = tid << rank_bits | depth_rank, pruned/invalid pairs -> a
-    # sentinel that sorts last. Unique keys make the sort stable by
-    # construction. (Round-1 sorted a (key, payload) pair over the same
-    # grid; a measured round-2 attempt that first compacted pairs into a
-    # smaller buffer via cumsum+scatter was SLOWER on the v5e — TPU
-    # scatters cost more than the sort saved.)
+    # ONE stable two-key sort of the grid: primary = tile id (sentinel T
+    # for pruned/invalid pairs), secondary = camera depth, payload = the
+    # original Gaussian index. Stable ties fall back to grid order =
+    # original index order, exactly the oracle's stable depth argsort
+    # semantics. (Measured alternatives on the v5e: a separate global
+    # depth argsort + column permutes each carry ~25 ms of fixed
+    # sort/gather latency; a cumsum+scatter pair compaction was slower
+    # than the 2x bigger sort it avoided.)
     row_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)  # (N,)
-    rank = jnp.broadcast_to(
+    gidx_grid = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, MT)
     )
     n_pairs = n * MT
-    nb = max(int(n - 1).bit_length(), 1)  # bits for the depth rank
-    if (T + 1) << nb <= jnp.iinfo(jnp.int32).max:
-        sentinel = jnp.int32(T << nb)
-        packed = jnp.where(keep, (tid << nb) | rank, sentinel)
-        sorted_keys = jax.lax.sort(packed.reshape(-1))
-        sorted_rank = sorted_keys & ((1 << nb) - 1)
-        boundaries = jnp.searchsorted(
-            sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << nb)
-        )
-    else:
-        # Capacity too large to pack: two-array stable sort.
-        keys = jnp.where(keep, tid, T).reshape(-1)
-        sorted_keys, sorted_rank = jax.lax.sort(
-            (keys, rank.reshape(-1)), num_keys=1, is_stable=True
-        )
-        boundaries = jnp.searchsorted(
-            sorted_keys, jnp.arange(T + 1, dtype=jnp.int32)
-        )
+    keys_tile = jnp.where(keep, tid, T).reshape(-1)
+    keys_depth = jnp.broadcast_to(depths[:, None], (n, MT)).reshape(-1)
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (keys_tile, keys_depth, gidx_grid.reshape(-1)),
+        num_keys=2, is_stable=True,
+    )
+    boundaries = jnp.searchsorted(
+        sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
+    )
 
     starts = boundaries[:-1]
     tile_count = (boundaries[1:] - starts).astype(jnp.int32)
 
-    # Slice out the first K (front-most) entries of each tile segment and
-    # map depth ranks back to original Gaussian indices.
+    # Slice out the first K (front-most) entries of each tile segment.
     pos2 = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
     in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
     pos2 = jnp.clip(pos2, 0, n_pairs - 1)
-    tile_gidx = jnp.where(in_seg, order[sorted_rank[pos2]], -1)
+    tile_gidx = jnp.where(in_seg, sorted_gidx[pos2], -1)
 
     overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
     dropped_tiles = jnp.sum(jnp.maximum(span - MT, 0)).astype(jnp.int32)
-    # Report the number of binned tiles per Gaussian (post-prune/post-cap),
-    # in the original (unsorted) index order.
-    num_tiles_hit = jnp.zeros((n,), jnp.int32).at[order].set(row_counts)
+    # Binned tiles per Gaussian (post-prune/post-cap), original order.
+    num_tiles_hit = row_counts
     return TileBins(
         tile_gidx=tile_gidx,
         tile_count=tile_count,
