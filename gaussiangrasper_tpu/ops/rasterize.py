@@ -9,15 +9,16 @@ caller concatenates all channels and composites them in ONE pass.
 Design (no atomics, no dynamic shapes — everything maps onto sort + prefix
 sums + one big matmul, which is what the TPU is built for):
 
-1. depth order   — one global `argsort` over N Gaussians. Per-tile lists
-                   inherit depth order from it, so no (tile, depth) key sort
-                   is needed (the CUDA kernel must sort per-tile because its
-                   lists are built with atomics; ours are built stably).
-2. tile binning  — each Gaussian emits its covered tile rectangle (bounded
-                   by `max_tiles_per_gaussian`); pairs are stably sorted by
-                   tile id alone (single int32 key) and sliced into fixed-
-                   capacity per-tile index lists [T, K].
-3. compositing   — per tile: alpha in closed form, transmittance via an
+1. tile binning  — each Gaussian emits its covered tile rectangle (bounded
+                   by `max_tiles_per_gaussian`), with pairs provably below
+                   the 1/255 alpha cutoff pruned; ONE stable two-key sort
+                   over (tile id, camera depth) with the Gaussian index as
+                   payload yields depth-ordered per-tile segments, sliced
+                   into fixed-capacity index lists [T, K]. Stable ties
+                   fall back to original index order — the same semantics
+                   as a stable global depth argsort (the CUDA kernel must
+                   sort per-tile because its lists are built with atomics).
+2. compositing   — per tile: alpha in closed form, transmittance via an
                    exclusive cumulative sum of log(1 - alpha) along K (the
                    associative-scan form of sequential front-to-back
                    blending, bit-equivalent in exact arithmetic), then the

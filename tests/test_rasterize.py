@@ -91,6 +91,24 @@ class TestBinning:
         bins = bin_gaussians(proj, scene["cam"].width, scene["cam"].height, cfg)
         assert int(np.asarray(bins.num_tiles_hit).max()) <= 4
 
+    def test_equal_depth_ties_keep_index_order(self):
+        """The two-key pair sort must break equal-depth ties by original
+        index — the stable-argsort semantics the oracle uses."""
+        scene = make_scene(jax.random.key(8), 6)
+        # co-locate all six at identical depth, overlapping the center
+        scene["means"] = (
+            jnp.tile(jnp.array([0.0, 0.0, -3.0]), (6, 1))
+            + jnp.arange(6)[:, None] * jnp.array([0.01, 0.0, 0.0])
+        )
+        proj = project_scene(scene)
+        np.testing.assert_allclose(np.asarray(proj.depths), 3.0, atol=1e-6)
+        cfg = RasterizeConfig(max_gaussians_per_tile=6)
+        bins = bin_gaussians(proj, scene["cam"].width, scene["cam"].height, cfg)
+        gidx = np.asarray(bins.tile_gidx)
+        for row in gidx:
+            vals = row[row >= 0]
+            assert (np.diff(vals) > 0).all(), vals
+
 
 class TestForwardVsOracle:
     @pytest.mark.parametrize("n,channels", [(2000, 3), (500, 39)])
