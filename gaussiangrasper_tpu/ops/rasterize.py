@@ -409,19 +409,14 @@ def rasterize_projected(
     elif backend == "pallas":
         from gaussiangrasper_tpu.ops import rasterize_pallas
 
-        # Gather per-tile attribute tables (autodiff of these gathers is the
-        # per-Gaussian scatter-add of the kernel's per-(tile, k) grads).
-        gidx = bins.tile_gidx
-        valid = gidx >= 0
-        g = jnp.maximum(gidx, 0)
-        tile_xy = proj.xys[g]
-        tile_con = proj.conics[g]
-        tile_opac = jnp.where(valid, opacities[g], 0.0)
-        tile_col = jnp.where(valid[..., None], colors[g], 0.0)
-        counts = jnp.minimum(bins.tile_count, gidx.shape[1])
-        out, alpha_im = rasterize_pallas.composite_tiles(
-            counts, tile_xy, tile_con, tile_opac, tile_col, background,
-            tw, ts,
+        # N-level custom_vjp: the fused (T, K, A) attribute gather happens
+        # inside its forward and the backward is one reverse kernel plus
+        # ONE fused global scatter-add (round 3; the round-2 formulation
+        # pre-gathered OUTSIDE and autodiff'd through the gathers, which
+        # lost to the XLA walk end-to-end — docs/ROUND_NOTES.md).
+        out, alpha_im = rasterize_pallas.composite_binned(
+            bins.tile_gidx, bins.tile_count, proj.xys, proj.conics,
+            opacities, colors, background, tw, ts,
         )
         out = jnp.pad(out, ((0, T_pad - T), (0, 0), (0, 0)))
         alpha_im = jnp.pad(alpha_im, ((0, T_pad - T), (0, 0)))

@@ -1,27 +1,25 @@
 """Pallas TPU kernels for per-tile front-to-back compositing.
 
-The XLA compositing path (ops/rasterize.py:_composite_chunk) materializes
-(tiles, K, pixels) intermediates in HBM — correct, but HBM-bandwidth-bound
-and it always pays for the full K capacity. These kernels keep every
-intermediate in VMEM and walk only each tile's ACTUAL Gaussian count
-(prefetched scalar; the transmittance cut masks the rest) — the same
-work-proportionality the reference's CUDA kernel
-gets from its per-tile loop (gsplat's RasterizeGaussians, call sites
-/root/reference/nerfstudio/models/gaussian_splatting.py:735-784).
+The XLA compositing path (ops/rasterize_xla.py) walks K-slabs with one
+HBM round-trip per intermediate per slab — correct and work-proportional,
+but every slab's elementwise chain (alpha, log1p, exp, masks, blends)
+costs HBM traffic and per-op overhead at small sizes. These kernels keep
+the whole per-tile walk in VMEM — the same work-proportionality the
+reference's CUDA kernel gets from its per-tile loop (gsplat's
+RasterizeGaussians, call sites /root/reference/nerfstudio/models/
+gaussian_splatting.py:735-784) plus the fusion CUDA gets for free.
 
-Layout contract (built by the caller from the binning stage):
-  counts    (T,)      int32  valid entries per tile
-  tile_xy   (T, K, 2) f32    gathered screen centers, front-to-back
-  tile_con  (T, K, 3) f32    gathered conics
-  tile_opac (T, K)    f32    gathered opacities (0 where padded)
-  tile_col  (T, K, C) f32    gathered channel values
-  bg        (1, C)    f32
-Outputs: out (T, P, C), alpha (T, P), logt (T, P) with P = ts*ts.
-
-The backward pass re-walks the same chunks forward, maintaining the
-running prefix of <w_j c_j, g_out> so the suffix term of d/dalpha needs
-no back-to-front sweep, and emits per-(tile, k) gradients; the caller's
-jnp gather autodiff turns them into per-Gaussian scatter-adds.
+Marshaling contract (round 3 — the round-2 backend lost to the XLA walk
+because it pre-gathered tables OUTSIDE the custom_vjp and back-propagated
+through the gathers, materializing a second (T, K, A) gradient and a
+scatter XLA scheduled poorly):
+  - `composite_binned` is the N-level entry: it takes the binning index
+    lists plus the per-Gaussian arrays, performs ONE fused row gather of
+    a packed (T, K, A) attribute table inside its custom_vjp forward,
+    runs the kernel, and its backward runs the reverse kernel into a
+    fused (T, K, A) gradient table followed by ONE global scatter-add to
+    per-Gaussian gradients. Attribute columns: xy(2) conic(3) opac(1)
+    color(C), A = 6 + C — matching ops/rasterize_xla.py:_pack_attrs.
 
 Gradient identities (out = sum_k w_k c_k + T_final*bg,
 w_k = alpha_k * prod_{j<k}(1-alpha_j), cut mask folded into alpha):
@@ -42,9 +40,11 @@ sublane scan — guaranteed-supported and effectively free at KC=128.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,6 +76,15 @@ def _tri(dtype):
     ).astype(dtype)
 
 
+def _slab_unpack(a, c: int):
+    """Split a (KC, A) fused-attribute slab into its columns."""
+    xy = a[:, 0:2]
+    con = a[:, 2:5]
+    opac = a[:, 5:6]
+    col = a[:, 6 : 6 + c]
+    return xy, con, opac, col
+
+
 def _chunk_alpha(xy, con, opac, px, py):
     """alpha (KC, P) for one K-chunk against the tile's pixels, with the
     CUDA validity predicate (sigma >= 0, alpha >= 1/255, clamp at 0.999)
@@ -94,14 +103,13 @@ def _chunk_alpha(xy, con, opac, px, py):
 
 def _fwd_kernel(
     counts_ref,  # scalar prefetch (T,)
-    xy_ref, con_ref, opac_ref, col_ref, bg_ref,
+    attrs_ref, bg_ref,
     out_ref, alpha_ref, logt_ref,
-    *, tw: int, ts: int,
+    *, tw: int, ts: int, c: int,
 ):
     t = pl.program_id(0)
     count = counts_ref[t]
     p = ts * ts
-    c = col_ref.shape[-1]
     dtype = out_ref.dtype
     px, py = _pixel_coords(t, tw, ts, dtype)
     tri = _tri(dtype)
@@ -114,16 +122,15 @@ def _fwd_kernel(
         # entries and becomes the terminal transmittance.
         accum, cum_all, logt_comp = state
         sl = pl.ds(i * KC, KC)
-        alpha, _, _, _ = _chunk_alpha(
-            xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
-        )
+        xy, con, opac, col = _slab_unpack(attrs_ref[0, sl, :], c)
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)  # (KC, P)
         cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
         composite = cum > LOG_EPS
         t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
-        accum = accum + jnp.dot(w.T, col_ref[0, sl, :], preferred_element_type=dtype)
+        accum = accum + jnp.dot(w.T, col, preferred_element_type=dtype)
         cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
         logt_comp = logt_comp + jnp.sum(
             jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
@@ -142,15 +149,15 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     counts_ref,
-    xy_ref, con_ref, opac_ref, col_ref, bg_ref,
+    attrs_ref, bg_ref,
     g_out_ref, g_alpha_ref, logt_ref,
-    gxy_ref, gcon_ref, gopac_ref, gcol_ref,
-    *, tw: int, ts: int,
+    gattr_ref,
+    *, tw: int, ts: int, c: int,
 ):
     t = pl.program_id(0)
     count = counts_ref[t]
     p = ts * ts
-    dtype = gxy_ref.dtype
+    dtype = gattr_ref.dtype
     px, py = _pixel_coords(t, tw, ts, dtype)
     tri = _tri(dtype)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
@@ -167,15 +174,14 @@ def _bwd_kernel(
     def blend_body(i, state):
         total, cum_all, logt_comp = state
         sl = pl.ds(i * KC, KC)
-        alpha, _, _, _ = _chunk_alpha(
-            xy_ref[0, sl, :], con_ref[0, sl, :], opac_ref[0, sl, :], px, py
-        )
+        xy, con, opac, col = _slab_unpack(attrs_ref[0, sl, :], c)
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
         cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
         composite = cum > LOG_EPS
         w = jnp.where(composite, alpha * jnp.exp(cum - log_t - cum_all + logt_comp), 0.0)
-        gc = jnp.dot(col_ref[0, sl, :], g_out.T, preferred_element_type=dtype)
+        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
         total = total + jnp.sum(w * gc, axis=0, keepdims=True)
         cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
         logt_comp = logt_comp + jnp.sum(
@@ -189,20 +195,14 @@ def _bwd_kernel(
          jnp.zeros((1, p), dtype)),
     )
 
-    # zero-init gradient outputs (early-exited / empty tiles keep zeros)
-    gxy_ref[0] = jnp.zeros_like(gxy_ref[0])
-    gcon_ref[0] = jnp.zeros_like(gcon_ref[0])
-    gopac_ref[0] = jnp.zeros_like(gopac_ref[0])
-    gcol_ref[0] = jnp.zeros_like(gcol_ref[0])
+    # zero-init gradient output (early-exited / empty tiles keep zeros)
+    gattr_ref[0] = jnp.zeros_like(gattr_ref[0])
 
     # Pass 2: forward walk with running inclusive prefix of w*gc.
     def grad_body(i, state):
         cum_all, logt_comp, pref_carry = state
         sl = pl.ds(i * KC, KC)
-        xy = xy_ref[0, sl, :]
-        con = con_ref[0, sl, :]
-        opac = opac_ref[0, sl, :]
-        col = col_ref[0, sl, :]
+        xy, con, opac, col = _slab_unpack(attrs_ref[0, sl, :], c)
         alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
 
@@ -231,13 +231,15 @@ def _bwd_kernel(
         b_ = con[:, 1:2]
         c_ = con[:, 2:3]
         # d(dx)/d(x_gauss) = -1: sigma falls as the center approaches px
-        gxy_ref[0, sl, 0] = -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)
-        gxy_ref[0, sl, 1] = -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)
-        gcon_ref[0, sl, 0] = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
-        gcon_ref[0, sl, 1] = jnp.sum(dx * dy * dsigma, axis=1)
-        gcon_ref[0, sl, 2] = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
-        gopac_ref[0, sl, :] = jnp.sum(dopac, axis=1, keepdims=True)
-        gcol_ref[0, sl, :] = jnp.dot(w, g_out, preferred_element_type=dtype)
+        gattr_ref[0, sl, 0] = -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)
+        gattr_ref[0, sl, 1] = -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)
+        gattr_ref[0, sl, 2] = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
+        gattr_ref[0, sl, 3] = jnp.sum(dx * dy * dsigma, axis=1)
+        gattr_ref[0, sl, 4] = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
+        gattr_ref[0, sl, 5] = jnp.sum(dopac, axis=1)
+        gattr_ref[0, sl, 6 : 6 + c] = jnp.dot(
+            w, g_out, preferred_element_type=dtype
+        )
 
         cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
         logt_comp = logt_comp + jnp.sum(
@@ -252,30 +254,17 @@ def _bwd_kernel(
     )
 
 
-def _specs(t, k, c, p, with_grads: bool):
-    in_specs = [
-        pl.BlockSpec((1, k, 2), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, k, 1), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, k, c), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
-    ]
-    if with_grads:
-        in_specs += [
-            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
-        ]
-    return in_specs
-
-
-def _call_fwd(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts, interpret):
-    t, k, c = tile_col.shape
+def _call_fwd(counts, tables, bg, tw, ts, interpret):
+    t, k, a = tables.shape
+    c = a - 6
     p = ts * ts
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
-        in_specs=_specs(t, k, c, p, with_grads=False),
+        in_specs=[
+            pl.BlockSpec((1, k, a), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+        ],
         out_specs=[
             pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
@@ -283,106 +272,136 @@ def _call_fwd(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts, interp
         ],
     )
     out, alpha, logt = pl.pallas_call(
-        functools.partial(_fwd_kernel, tw=tw, ts=ts),
+        functools.partial(_fwd_kernel, tw=tw, ts=ts, c=c),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, p, c), tile_col.dtype),
-            jax.ShapeDtypeStruct((t, p, 1), tile_col.dtype),
-            jax.ShapeDtypeStruct((t, p, 1), tile_col.dtype),
+            jax.ShapeDtypeStruct((t, p, c), tables.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), tables.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), tables.dtype),
         ],
         interpret=interpret,
-    )(counts, tile_xy, tile_con, tile_opac[..., None], tile_col, bg)
+    )(counts, tables, bg)
     return out, alpha[..., 0], logt[..., 0]
 
 
-def _call_bwd(
-    counts, tile_xy, tile_con, tile_opac, tile_col, bg, g_out, g_alpha, logt,
-    tw, ts, interpret,
-):
-    t, k, c = tile_col.shape
+def _call_bwd(counts, tables, bg, g_out, g_alpha, logt, tw, ts, interpret):
+    t, k, a = tables.shape
+    c = a - 6
     p = ts * ts
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
-        in_specs=_specs(t, k, c, p, with_grads=True),
+        in_specs=[
+            pl.BlockSpec((1, k, a), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+        ],
         out_specs=[
-            pl.BlockSpec((1, k, 2), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, k, 1), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, k, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, a), lambda i, *_: (i, 0, 0)),
         ],
     )
-    gxy, gcon, gopac, gcol = pl.pallas_call(
-        functools.partial(_bwd_kernel, tw=tw, ts=ts),
+    (gattr,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, tw=tw, ts=ts, c=c),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t, k, 2), tile_xy.dtype),
-            jax.ShapeDtypeStruct((t, k, 3), tile_con.dtype),
-            jax.ShapeDtypeStruct((t, k, 1), tile_opac.dtype),
-            jax.ShapeDtypeStruct((t, k, c), tile_col.dtype),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((t, k, a), tables.dtype)],
         interpret=interpret,
-    )(counts, tile_xy, tile_con, tile_opac[..., None], tile_col, bg,
+    )(counts, tables, bg[None, :] if bg.ndim == 1 else bg,
       g_out, g_alpha[..., None], logt[..., None])
-    return gxy, gcon, gopac[..., 0], gcol
+    return gattr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _composite(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
-    out, alpha, _ = _fwd_impl(counts_f, tile_xy, tile_con, tile_opac, tile_col,
-                              bg, tw, ts)
+def _pad_k(x, pad):
+    if not pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
+def _gather_tables(gidx, xys, conics, opacities, colors):
+    """ONE fused row gather of the packed (T, K, A) attribute table.
+    Invalid (padded) slots carry zero opacity, so the kernels skip them
+    without consulting the index sign."""
+    attrs = jnp.concatenate(
+        [xys, conics, opacities[:, None], colors], axis=1
+    )  # (N, A)
+    valid = gidx >= 0
+    g = jnp.maximum(gidx, 0)
+    tables = jnp.where(valid[..., None], attrs[g], 0.0)
+    return tables
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _composite_n(counts_f, gidx, xys, conics, opacities, colors, bg, tw, ts):
+    (out, alpha), _ = _composite_n_fwd(
+        counts_f, gidx, xys, conics, opacities, colors, bg, tw, ts
+    )
     return out, alpha
 
 
-def _fwd_impl(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
+def _composite_n_fwd(counts_f, gidx, xys, conics, opacities, colors, bg,
+                     tw, ts):
     counts = counts_f.astype(jnp.int32)
-    return _call_fwd(
-        counts, tile_xy, tile_con, tile_opac, tile_col, bg[None, :], tw, ts,
-        interpret=not _on_tpu(),
+    tables = _gather_tables(gidx, xys, conics, opacities, colors)
+    pad = (-tables.shape[1]) % KC
+    tables = _pad_k(tables, pad)
+    out, alpha, logt = _call_fwd(
+        counts, tables, bg[None, :], tw, ts, interpret=not _on_tpu()
     )
+    res = (counts_f, gidx, tables, bg, logt, xys.shape[0])
+    return (out, alpha), res
 
 
-def _composite_fwd(counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
-    out, alpha, logt = _fwd_impl(
-        counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts
-    )
-    return (out, alpha), (counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, logt)
-
-
-def _composite_bwd(tw, ts, res, g):
-    counts_f, tile_xy, tile_con, tile_opac, tile_col, bg, logt = res
+def _composite_n_bwd(tw, ts, res, g):
+    counts_f, gidx, tables, bg, logt, n = res
     g_out, g_alpha = g
-    gxy, gcon, gopac, gcol = _call_bwd(
-        counts_f.astype(jnp.int32), tile_xy, tile_con, tile_opac, tile_col,
-        bg[None, :], g_out, g_alpha, logt, tw, ts,
-        interpret=not _on_tpu(),
+    gattr = _call_bwd(
+        counts_f.astype(jnp.int32), tables, bg, g_out, g_alpha, logt,
+        tw, ts, interpret=not _on_tpu(),
     )
+    k = gidx.shape[1]
+    a = tables.shape[-1]
+    gattr = gattr[:, :k, :]  # crop KC padding
+    # ONE fused global scatter-add: per-(tile, k) grads -> per-Gaussian.
+    flat_g = jnp.maximum(gidx, 0).reshape(-1)
+    vals = jnp.where((gidx >= 0).reshape(-1, 1), gattr.reshape(-1, a), 0.0)
+    acc = jnp.zeros((n, a), vals.dtype).at[flat_g].add(vals)
     # bg gradient: sum_p T_final g_out — cheap in jnp from logt.
-    # (The reference's backgrounds are constants/random draws, but keep the
-    # math correct for completeness.)
     t_final = jnp.exp(logt)  # (T, P)
     gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
-    return jnp.zeros_like(counts_f), gxy, gcon, gopac, gcol, gbg
+    return (jnp.zeros_like(counts_f),
+            np.zeros(gidx.shape, jax.dtypes.float0),
+            acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:], gbg)
 
 
-_composite.defvjp(_composite_fwd, _composite_bwd)
+_composite_n.defvjp(_composite_n_fwd, _composite_n_bwd)
+
+
+def composite_binned(tile_gidx, tile_count, xys, conics, opacities, colors,
+                     bg, tw: int, ts: int) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable per-tile compositing straight off the binning lists
+    (tile_gidx (T, K) int32, -1 padded; tile_count (T,) int32 — no grads).
+    Returns (out (T, P, C), alpha (T, P)). The attribute gather and the
+    backward scatter-add both live inside the custom_vjp (see module
+    docstring)."""
+    counts = jnp.minimum(tile_count, tile_gidx.shape[1])
+    return _composite_n(
+        counts.astype(jnp.float32), tile_gidx, xys, conics, opacities,
+        colors, bg, tw, ts,
+    )
 
 
 def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
-    """Differentiable per-tile compositing. counts int32 (no grad); returns
-    (out (T, P, C), alpha (T, P)). K is padded up to a multiple of the
-    kernel chunk; padded entries carry zero opacity."""
-    k = tile_opac.shape[1]
-    pad = (-k) % KC
-    if pad:
-        def padk(x):
-            widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-            return jnp.pad(x, widths)
-
-        tile_xy, tile_con, tile_opac, tile_col = (
-            padk(tile_xy), padk(tile_con), padk(tile_opac), padk(tile_col)
-        )
-    return _composite(
-        counts.astype(jnp.float32), tile_xy, tile_con, tile_opac, tile_col,
-        bg, tw, ts,
+    """Pre-gathered-table compat entry (dev probes): composites fused
+    tables built from the four separate per-tile arrays. NOT differentiable
+    to the N-level inputs — use `composite_binned` for training."""
+    tables = jnp.concatenate(
+        [tile_xy, tile_con, tile_opac[..., None], tile_col], axis=-1
     )
+    pad = (-tables.shape[1]) % KC
+    tables = _pad_k(tables, pad)
+    out, alpha, _ = _call_fwd(
+        counts.astype(jnp.int32), tables, bg[None, :], tw, ts,
+        interpret=not _on_tpu(),
+    )
+    return out, alpha
