@@ -552,6 +552,63 @@ def process_odm(data: Path, output: Path) -> None:
     print(msg)
 
 
+def process_equirect(
+    data: Path,
+    output: Path,
+    images_per_equirect: int = 8,
+    crop_factor=(0.0, 0.0, 0.0, 0.0),
+    num_frames: int = 300,
+    resolution: int = 0,
+) -> None:
+    """Equirectangular video/images -> perspective crops -> the normal
+    images pipeline (the reference's `ns-process-data images/video
+    --camera-type equirectangular` flow: compute the crop resolution from
+    the pixel-count heuristic, generate 8 or 14 pinhole crops per frame,
+    then hand the crops to SfM; ref process_data.py equirect branches +
+    equirect_utils.py:233-338)."""
+    from gaussiangrasper_tpu.data import equirect
+
+    data = Path(data)
+    output.mkdir(parents=True, exist_ok=True)
+    if data.is_file():  # video: extract frames first
+        frames_dir = output / "equirect_frames"
+        frames_dir.mkdir(exist_ok=True)
+        if shutil.which("ffmpeg") is None:
+            raise SystemExit(
+                "`ffmpeg` is not available; extract frames elsewhere and "
+                "re-run with --data <frame dir>."
+            )
+        subprocess.run(
+            ["ffmpeg", "-i", str(data), "-vsync", "vfr",
+             str(frames_dir / "frame_%05d.png")],
+            check=True,
+        )
+        frames = sorted(frames_dir.glob("frame_*.png"))
+        if len(frames) > num_frames:
+            keep = set(np.linspace(0, len(frames) - 1, num_frames)
+                       .astype(int).tolist())
+            for i, f in enumerate(frames):
+                if i not in keep:
+                    f.unlink()
+        data = frames_dir
+
+    import cv2
+
+    first = next((f for f in sorted(data.iterdir())
+                  if f.suffix.lower() in (".png", ".jpg", ".jpeg")), None)
+    if first is None:
+        raise SystemExit(f"no images found in {data}")
+    if resolution > 0:
+        out_size = (resolution, resolution)
+    else:
+        im = cv2.imread(str(first))
+        out_size = equirect.crop_resolution(im.shape[:2], images_per_equirect)
+    crops = equirect.generate_planar_projections(
+        data, out_size, images_per_equirect, crop_factor
+    )
+    process_images(crops, output, skip_downscale=False)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(
         description="Process raw captures into trainable datasets "
@@ -594,6 +651,18 @@ def main(argv=None) -> None:
     ph = sub.add_parser("hloc")
     ph.add_argument("--data", type=Path, required=True)
     ph.add_argument("--output", type=Path, required=True)
+    pe = sub.add_parser("equirect")
+    pe.add_argument("--data", type=Path, required=True,
+                    help="equirectangular video file or image directory")
+    pe.add_argument("--output", type=Path, required=True)
+    pe.add_argument("--images-per-equirect", type=int, default=8,
+                    choices=(8, 14))
+    pe.add_argument("--crop-factor", type=float, nargs=4,
+                    default=(0.0, 0.0, 0.0, 0.0),
+                    metavar=("TOP", "BOTTOM", "LEFT", "RIGHT"))
+    pe.add_argument("--num-frames", type=int, default=300)
+    pe.add_argument("--resolution", type=int, default=0,
+                    help="crop edge in px (0 = pixel-count heuristic)")
     args = p.parse_args(argv)
 
     if args.mode == "hloc":
@@ -621,6 +690,10 @@ def main(argv=None) -> None:
         process_metashape(args.data, args.xml, args.output)
     elif args.mode == "realitycapture":
         process_realitycapture(args.data, args.csv, args.output)
+    elif args.mode == "equirect":
+        process_equirect(args.data, args.output, args.images_per_equirect,
+                         tuple(args.crop_factor), args.num_frames,
+                         args.resolution)
     else:
         process_odm(args.data, args.output)
 

@@ -262,3 +262,89 @@ class TestODM:
         m = np.array(fr["transform_matrix"])
         # identity rotation, translation (1,2,3) row-permuted [2,0,1]
         np.testing.assert_allclose(m[:3, 3], [3.0, 1.0, 2.0], atol=1e-9)
+
+
+class TestEquirect:
+    """Equirect -> perspective crops (data/equirect.py; ref
+    equirect_utils.py). The synthetic equirect encodes (lon, lat) in its
+    channels, so resampled crops can be checked analytically."""
+
+    @staticmethod
+    def _lonlat_image(h=180, w=360):
+        lon = np.linspace(-180, 180, w, endpoint=False) + 360.0 / w / 2
+        lat = np.linspace(90, -90, h, endpoint=False) - 180.0 / h / 2
+        img = np.zeros((h, w, 3), np.float32)
+        img[..., 0] = (lon[None, :] + 180.0) / 360.0 * 255.0
+        img[..., 1] = (lat[:, None] + 90.0) / 180.0 * 255.0
+        return img
+
+    @pytest.mark.parametrize("yaw,pitch", [(0, 0), (90, 0), (0, 45),
+                                           (180, 0), (-120, -30)])
+    def test_crop_center_direction(self, yaw, pitch):
+        from gaussiangrasper_tpu.data.equirect import equirect_to_perspective
+
+        img = self._lonlat_image()
+        crop = equirect_to_perspective(img, 90.0, yaw, pitch, (33, 33))
+        center = crop[16, 16]
+        got_lon = center[0] / 255.0 * 360.0 - 180.0
+        got_lat = center[1] / 255.0 * 180.0 - 90.0
+        # Tolerance: the reference's (arange - wd/2) grid puts the center
+        # pixel half an interval off-axis (~1.7 deg at fov 90/33px, amplified
+        # by 1/cos(pitch) in longitude) — real convention bugs are >= tens
+        # of degrees. Wrap-aware lon comparison; the 180 crop straddles the
+        # seam where the encoded value itself jumps, skip lon there.
+        if abs(abs(yaw) - 180.0) > 1:
+            dlon = (got_lon - yaw + 180.0) % 360.0 - 180.0
+            assert abs(dlon) < 4.0, (yaw, got_lon)
+        assert abs(got_lat - pitch) < 4.0, (pitch, got_lat)
+
+    def test_seam_wraps_not_clamps(self):
+        from gaussiangrasper_tpu.data.equirect import equirect_to_perspective
+
+        img = self._lonlat_image()
+        # looking at the seam: left half of the crop is lon<0 side wrapped
+        crop = equirect_to_perspective(img, 60.0, 180.0, 0.0, (21, 21))
+        left_lon = crop[10, 2, 0] / 255.0 * 360.0 - 180.0
+        right_lon = crop[10, 18, 0] / 255.0 * 360.0 - 180.0
+        assert left_lon > 140.0   # approaching +180 from the west
+        assert right_lon < -140.0  # wrapped past the seam
+
+    def test_sampling_patterns(self):
+        from gaussiangrasper_tpu.data.equirect import sampling_pattern
+
+        fov8, p8 = sampling_pattern(8)
+        assert fov8 == 120.0 and len(p8) == 8
+        fov14, p14 = sampling_pattern(14)
+        assert fov14 == 110.0 and len(p14) == 14
+        # heavy bottom crop drops the -45 row entirely
+        _, pc = sampling_pattern(8, crop_factor=(0.0, 0.9, 0.0, 0.0))
+        pitches = {p for _, p in pc}
+        assert all(p > -45.0 for p in pitches) and len(pc) < 8
+        with pytest.raises(ValueError):
+            sampling_pattern(8, crop_factor=(0.0, 2.0, 0.0, 0.0))
+        with pytest.raises(ValueError):
+            sampling_pattern(9)
+
+    def test_crop_resolution_heuristic(self):
+        from gaussiangrasper_tpu.data.equirect import crop_resolution
+
+        r = crop_resolution((1000, 2000), 8)
+        assert r == (500, 500)  # sqrt(2e6 / 8)
+
+    def test_cli_generates_crops(self, tmp_path):
+        import cv2
+
+        src = tmp_path / "equirect"
+        src.mkdir()
+        img = self._lonlat_image(64, 128).astype(np.uint8)
+        cv2.imwrite(str(src / "e0.png"), img)
+        cv2.imwrite(str(src / "e1.png"), img)
+        out = tmp_path / "out"
+        main(["equirect", "--data", str(src), "--output", str(out),
+              "--images-per-equirect", "8", "--resolution", "24"])
+        crops = sorted((src / "planar_projections").glob("*.jpg"))
+        assert len(crops) == 16  # 8 per image
+        copied = sorted((out / "images").glob("*.jpg"))
+        assert len(copied) == 16
+        im = cv2.imread(str(crops[0]))
+        assert im.shape == (24, 24, 3)
