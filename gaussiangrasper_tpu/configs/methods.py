@@ -183,9 +183,14 @@ METHODS: Dict[str, Callable] = {
     "vanilla-nerf": _nerf("vanilla", coarse_rgb_lambda=1.0),
     "depth-nerfacto": _nerf("nerfacto", depth_lambda=0.1),
     "mipnerf": _nerf("mipnerf"),
-    "instant-ngp": _nerf("instant-ngp", use_occupancy_grid=True),
+    "instant-ngp": _nerf(
+        # the reference trains ingp through DynamicBatchPipeline
+        # (method_configs.py); engine/dynamic_batch.py is the analog
+        "instant-ngp", use_occupancy_grid=True, dynamic_batch=True
+    ),
     "instant-ngp-bounded": _nerf(
-        "instant-ngp", {"scene_scale": 1.0}, use_occupancy_grid=True
+        "instant-ngp", {"scene_scale": 1.0}, use_occupancy_grid=True,
+        dynamic_batch=True
     ),
     "tensorf": _nerf("tensorf", tensorf_reg_lambda=5e-4),
     "dnerf": _nerf("vanilla", {"deformation": True}, coarse_rgb_lambda=1.0),

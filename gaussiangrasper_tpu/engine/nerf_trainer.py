@@ -69,6 +69,11 @@ class NerfTrainerConfig:
     use_occupancy_grid: bool = False   # instant-ngp
     grid_resolution: int = 64
     grid_update_every: int = 16
+    dynamic_batch: bool = False
+    """Adapt rays/batch to target a constant live-sample count (the
+    DynamicBatchPipeline analog, engine/dynamic_batch.py; pairs with
+    use_occupancy_grid)."""
+    target_num_samples: int = 1 << 18
     steps_per_save: int = 2000
     steps_per_log: int = 50
     seed: int = 42
@@ -123,7 +128,10 @@ def _nerf_step(params, opt_state, camera, coords, target, target_depth,
     updates, opt_state = tx.update(grads, opt_state)
     params = optax.apply_updates(params, updates)
     psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
-    return params, opt_state, {"loss": mse, "psnr": psnr}
+    metrics = {"loss": mse, "psnr": psnr}
+    if "num_live_samples" in out:
+        metrics["num_samples"] = out["num_live_samples"]
+    return params, opt_state, metrics
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -203,7 +211,22 @@ class NerfTrainer:
             cfg.pixel_sampler, cfg.rays_per_batch,
             patch_size=cfg.patch_size, pair_radius=cfg.pair_radius,
         )
+        sizer = None
+        if cfg.dynamic_batch:
+            from gaussiangrasper_tpu.engine.dynamic_batch import (
+                DynamicBatchSizer,
+            )
+
+            sizer = DynamicBatchSizer(
+                target_num_samples=cfg.target_num_samples,
+                max_num_samples_per_ray=cfg.model.num_coarse + cfg.model.num_fine,
+            )
         for step in range(cfg.max_iterations):
+            if sizer is not None and sizer.num_rays != sampler.rays_per_batch:
+                sampler = make_pixel_sampler(
+                    cfg.pixel_sampler, sizer.num_rays,
+                    patch_size=cfg.patch_size, pair_radius=cfg.pair_radius,
+                )
             idx = int(self.rng.integers(0, n))
             cam, batch = self.dm.get_batch(idx)
             img = batch["image"]
@@ -230,6 +253,16 @@ class NerfTrainer:
                 jnp.asarray(idx % max(cfg.model.num_appearance_embeds, 1)),
                 self.grid, sub, cfg.model, cfg.lr, weights,
             )
+            if sizer is not None:
+                measured = metrics.get("num_samples")
+                if measured is None:  # dense renderer: every sample lives
+                    measured = ys.shape[0] * (
+                        cfg.model.num_coarse + cfg.model.num_fine
+                    )
+                sizer.update(int(measured))
+                metrics["num_rays_per_batch"] = jnp.asarray(
+                    sampler.rays_per_batch
+                )
             writer.step(step, metrics, pixels=int(ys.shape[0]))
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
                 path = self._save(step + 1)

@@ -461,8 +461,16 @@ def _render_ingp(params, bundle, key, cfg, grid, appearance_idx):
     n = cfg.num_coarse + cfg.num_fine
     samples = sample_along_rays(bundle, cfg.near, cfg.far, n, key)
     dens, rgb, geo = _field(params, cfg, samples.positions, samples.directions, app)
+    num_live = jnp.asarray(samples.positions.shape[0] * samples.positions.shape[1])
     if grid is not None:
         dens = occupancy.masked_densities(grid, samples.positions, dens)
+        # live-sample count for dynamic batch sizing (the reference's
+        # num_samples_per_batch metric, ref models/instant_ngp.py
+        # get_metrics_dict; here the static-shape analog counts samples in
+        # occupied cells)
+        num_live = jnp.sum(
+            occupancy.occupancy_mask(grid, samples.positions), dtype=jnp.int32
+        )
     w = render_weights(dens, samples.deltas)
     mids = 0.5 * (samples.starts + samples.ends)
     out = {
@@ -470,6 +478,7 @@ def _render_ingp(params, bundle, key, cfg, grid, appearance_idx):
         "depth": composite(w, mids),
         "accumulation": jnp.sum(w, axis=-2),
         "rgb_coarse": composite(w, rgb, background=jnp.zeros(3)),
+        "num_live_samples": num_live,
     }
     sem = _semantics(params, cfg, geo, w)
     if sem is not None:

@@ -175,3 +175,62 @@ class TestCameraTypeRays:
                           camera_type="equirectangular").directions[0]
         )
         assert mid[2] < -0.95
+
+
+class TestDynamicBatch:
+    """DynamicBatchPipeline analog (engine/dynamic_batch.py; ref
+    pipelines/dynamic_batch.py:35-95): constant-live-samples control law
+    with power-of-two bucketing for bounded jit recompiles."""
+
+    def test_sizer_converges_to_target(self):
+        from gaussiangrasper_tpu.engine.dynamic_batch import DynamicBatchSizer
+
+        s = DynamicBatchSizer(target_num_samples=1 << 18,
+                              max_num_samples_per_ray=1 << 10)
+        assert s.num_rays == 256  # the reference's init: target // max_spr
+        # simulate: occupancy keeps only ~1/16 of the 1024 dense samples,
+        # so the measured count is 64 * num_rays — the sizer should grow
+        # rays toward target/64 = 4096
+        history = [s.num_rays]
+        for _ in range(12):
+            measured = 64 * s.num_rays
+            history.append(s.update(measured))
+        assert history[-1] == 4096, history
+        # all emitted counts are powers of two (bounded program count)
+        assert all(r & (r - 1) == 0 for r in history)
+        # and the count adapted away from its initial value and then held
+        assert history[0] == 256 and history[1] == 4096
+        assert history[-1] == history[1]  # stable once on target
+
+    def test_sizer_clips_and_shrinks(self):
+        from gaussiangrasper_tpu.engine.dynamic_batch import DynamicBatchSizer
+
+        s = DynamicBatchSizer(target_num_samples=1 << 14,
+                              max_num_samples_per_ray=16,
+                              min_rays=128, max_rays=2048)
+        # dense scene: every sample lives -> measured = 16*rays
+        for _ in range(8):
+            s.update(16 * s.num_rays)
+        assert s.num_rays == 1024  # 2^14 / 16
+        # exploding sample counts shrink to the floor, never below
+        for _ in range(8):
+            s.update(10_000_000)
+        assert s.num_rays == 128
+        # dead scene grows to the ceiling, never above
+        for _ in range(12):
+            s.update(1)
+        assert s.num_rays == 2048
+
+    def test_render_reports_live_samples(self):
+        from gaussiangrasper_tpu.models import occupancy
+
+        cfg = NerfConfig(field="instant-ngp", num_coarse=8, num_fine=0,
+                         hash_levels=2, log2_hashmap_size=8)
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        rb = generate_rays(cam(), coords=jnp.array([[5, 7], [3, 2]]))
+        dead = occupancy.init_grid([[-4, -4, -4], [4, 4, 4]], resolution=4)
+        out = render_rays(params, rb, jax.random.PRNGKey(1), cfg, grid=dead)
+        assert int(out["num_live_samples"]) == 0
+        live = dead._replace(density=jnp.full((4, 4, 4), 1.0))
+        out = render_rays(params, rb, jax.random.PRNGKey(1), cfg, grid=live)
+        assert int(out["num_live_samples"]) == 2 * 8
