@@ -29,14 +29,21 @@ from gaussiangrasper_tpu.models.model import render as render_fn
 from gaussiangrasper_tpu.scripts.common import load_run
 
 
-def encode_text(prompts):
+def encode_text(prompts, model=None, proc=None):
     """CLIP ViT-B/16 text embeddings via transformers (requires cached
-    weights; offline images should pass --text-embedding instead)."""
-    import torch
-    from transformers import CLIPModel, CLIPProcessor
+    weights; offline images should pass --text-embedding instead).
 
-    model = CLIPModel.from_pretrained("openai/clip-vit-base-patch16")
-    proc = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch16")
+    model/proc: optional pre-built CLIPModel / processor (dependency
+    injection — tests run the real get_text_features plumbing with a
+    randomly initialized model, the same trick as utils/perceptual.py;
+    only the trained values need a download)."""
+    import torch
+
+    if model is None or proc is None:
+        from transformers import CLIPModel, CLIPProcessor
+
+        model = CLIPModel.from_pretrained("openai/clip-vit-base-patch16")
+        proc = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch16")
     with torch.no_grad():
         inp = proc(text=prompts, return_tensors="pt", padding=True)
         emb = model.get_text_features(**inp)

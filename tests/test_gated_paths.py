@@ -110,3 +110,54 @@ class TestSamGlue:
         assert ids == {-1, 0}
         assert (out[:, : w // 2] == 0).all()
         assert (out[:, w // 2:] == -1).all()
+
+
+class TestClipTextGlue:
+    def test_encode_text_with_random_weights(self):
+        """The real transformers CLIP text tower runs with RANDOM weights
+        (tiny config, the trained values stay download-gated): exercises
+        encode_text's tokenize -> get_text_features -> numpy plumbing and
+        the downstream relevancy_map contract (query.py)."""
+        import torch
+        from transformers import CLIPConfig, CLIPModel
+
+        from gaussiangrasper_tpu.scripts.query import encode_text, relevancy_map
+
+        cfg = CLIPConfig(
+            projection_dim=512,  # the pipeline's CLIP dim (ref 512)
+            text_config={"hidden_size": 32, "intermediate_size": 64,
+                         "num_hidden_layers": 2, "num_attention_heads": 2,
+                         "vocab_size": 64, "max_position_embeddings": 16},
+            vision_config={"hidden_size": 32, "intermediate_size": 64,
+                           "num_hidden_layers": 1, "num_attention_heads": 2,
+                           "image_size": 32, "patch_size": 16},
+        )
+        torch.manual_seed(0)
+        model = CLIPModel(cfg)  # random init, no download
+
+        class StubTokenizer:
+            def __call__(self, text, return_tensors, padding):
+                ids = torch.stack([
+                    torch.tensor([(hash(w) % 60) + 1 for w in
+                                  (t.split() + ["pad"] * 4)[:4]])
+                    for t in text
+                ])
+                return {"input_ids": ids,
+                        "attention_mask": torch.ones_like(ids)}
+
+        emb = encode_text(["a red mug", "scissors"], model=model,
+                          proc=StubTokenizer())
+        assert emb.shape == (2, 512)
+        assert np.isfinite(emb).all()
+        # different prompts produce different embeddings
+        assert np.abs(emb[0] - emb[1]).max() > 1e-4
+
+        # end-to-end into the LERF relevancy math
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        clip_map = jnp.asarray(rng.normal(size=(8, 6, 512)).astype(np.float32))
+        rel = relevancy_map(clip_map, jnp.asarray(emb[0]),
+                            jnp.asarray(emb[1:]))
+        assert rel.shape == (8, 6)
+        assert float(rel.min()) >= 0.0 and float(rel.max()) <= 1.0
