@@ -53,16 +53,23 @@ _LOG_EPS = -9.2103403719761836  # log(TRANSMITTANCE_EPS)
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    tile_size: int = 16
-    """Pixel tile edge. 16x16 = 256 px = 2 TPU lanes-rows; perf knob only —
-    results are identical for any tile size >= inclusion granularity."""
-    max_gaussians_per_tile: int = 1024
-    """Per-tile capacity K. Overflow keeps the K nearest (front-most)."""
-    max_tiles_per_gaussian: int = 32
+    tile_size: int = 32
+    """Pixel tile edge. Perf knob only — results are identical for any
+    tile size >= inclusion granularity. 32 measured best on the v5e at
+    the 800x800/200k bench point (r3 probe): the pair count scales as
+    ~(splat_width/ts + 1)^2 and every binning stage (sort, index build,
+    walk gathers) is PER-PAIR-bound on this TPU, so halving pairs beats
+    the extra per-tile pixel work (render fwd+bwd 164 vs 212 ms)."""
+    max_gaussians_per_tile: int = 2048
+    """Per-tile capacity K. Overflow keeps the K nearest (front-most).
+    2048 holds the dense-bench worst case at tile_size 32 with zero
+    overflow (mean 1303/tile); the (T, K) table footprint matches the
+    old 16/1024 default."""
+    max_tiles_per_gaussian: int = 16
     """Cap on tiles one Gaussian may cover; 0 = the whole tile grid (exact
     but allocates an (N, num_tiles) pair matrix — only viable for small
     scenes). The binning pair sort runs over the N x MT grid, so this cap
-    is the sort-cost knob: 32 covers a ~90x90 px splat at tile_size 16
+    is the sort-cost knob: 16 covers a ~96x96 px splat at tile_size 32
     post alpha-cutoff shrink (cull_screen_size 0.15 keeps real splats
     under that). Oversized rectangles are truncated row-major and counted
     in TileBins.dropped_tiles — never silent."""
@@ -80,14 +87,16 @@ class RasterizeConfig:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        # NOTE: 'auto' resolves to the XLA walk everywhere. The Pallas
-        # kernels now compile AND run on the tunneled TPU (round 2,
-        # scripts_dev/pallas_probe.py), but the Pallas BACKEND still loses
-        # end-to-end (380 vs 266 ms at the 800x800/200k bench) because it
-        # pre-gathers full (T, K) attribute tables — the op class this
-        # TPU runs slowest (docs/ROUND_NOTES.md). It stays opt-in until
-        # its data marshaling is reworked onto the sorted pair array.
-        return "xla"
+        # 'auto' resolves to the Pallas kernels on real TPU and the XLA
+        # walk elsewhere (Pallas interpret mode is orders of magnitude
+        # slower than the walk on CPU). The round-3 marshaling redesign —
+        # one fused (T,K,A) gather inside the custom_vjp, one fused
+        # scatter-add backward — made the Pallas backend win end-to-end
+        # (158 vs 212 ms render fwd+bwd at the 800x800/200k bench,
+        # scripts_dev/r3_probe.py; round 2 it lost 380 vs 266).
+        from gaussiangrasper_tpu.ops.rasterize_pallas import _on_tpu
+
+        return "pallas" if _on_tpu() else "xla"
 
 
 class TileBins(NamedTuple):

@@ -66,7 +66,8 @@ def batch_shardings(mesh: Mesh):
 
 def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int,
                             tile_shard: bool = False,
-                            gather_budget: int | None = None):
+                            gather_budget: int | None = None,
+                            alive=None):
     """Build the jitted sharded step.
 
     The returned function takes (state, cameras, batches) where every
@@ -78,17 +79,23 @@ def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int,
     (parallel/tile_shard.py): the compositing work for each camera is
     distributed over the "gauss" axis with a frustum-culled all-gather,
     instead of every device compositing the full image from a full-capacity
-    gather. Requires dp == 1 (one camera per step, the reference's regime
-    — gaussian_splatting.py asserts one camera at :637).
+    gather. Composes with dp > 1 (the natural pod layout: dp over hosts x
+    gauss within a host): the camera batch is vmapped with
+    spmd_axis_name="dp", so each dp row runs the gauss-sharded composite
+    for its own camera — 2-D (dp, gauss) parallelism from one program.
     """
     compositor = None
     if tile_shard:
-        if mesh.shape["dp"] != 1:
-            raise ValueError("tile_shard requires a dp=1 mesh")
         from gaussiangrasper_tpu.parallel.tile_shard import (
+            derive_gather_budget,
             tile_sharded_compositor,
         )
 
+        if gather_budget is None and alive is not None:
+            # default path: a static budget from the concrete alive count
+            # so dead capacity slots are never transmitted (re-derive after
+            # refinement; see derive_gather_budget)
+            gather_budget = derive_gather_budget(alive, mesh.shape["gauss"])
         compositor = tile_sharded_compositor(mesh, gather_budget=gather_budget)
 
     def step_fn(
@@ -101,22 +108,16 @@ def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int,
         def loss_fn(ms, probes):
             def one(cam, batch, probe):
                 return train_loss(
-                    ms, state.alive, cam, batch, state.step, cfg, probe=probe
+                    ms, state.alive, cam, batch, state.step, cfg,
+                    probe=probe, compositor=compositor,
                 )
 
-            if compositor is not None:
-                # shard_map does not vmap: composite the (single) camera
-                # through the tile-sharded path directly.
-                cam0 = jax.tree.map(lambda l: l[0], cameras)
-                batch0 = jax.tree.map(lambda l: l[0], batches)
-                total, aux = train_loss(
-                    ms, state.alive, cam0, batch0, state.step, cfg,
-                    probe=probes[0], compositor=compositor,
-                )
-                auxs = jax.tree.map(lambda l: l[None], aux)
-                return total, auxs
-
-            totals, auxs = jax.vmap(one)(cameras, batches, probes)
+            # With the tile-sharded compositor, the camera vmap is pinned
+            # to the "dp" mesh axis (spmd_axis_name) so the inner
+            # gauss-axis shard_map batches across dp rows instead of
+            # refusing to trace under vmap.
+            vmap_kw = {"spmd_axis_name": "dp"} if compositor is not None else {}
+            totals, auxs = jax.vmap(one, **vmap_kw)(cameras, batches, probes)
             return jnp.mean(totals), auxs
 
         b = jax.tree.leaves(cameras)[0].shape[0]

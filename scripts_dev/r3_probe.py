@@ -23,8 +23,8 @@ if os.environ.get("GGT_PLATFORM"):
 
 import jax.numpy as jnp
 
-N_GAUSS = 200_000
-W = H = 800
+N_GAUSS = int(os.environ.get("GGT_PROBE_N", "200000"))
+W = H = int(os.environ.get("GGT_PROBE_WH", "800"))
 F = 32
 ITERS = int(os.environ.get("GGT_PROBE_ITERS", "5"))
 
@@ -120,6 +120,24 @@ def main():
                   f"mean/tile={float(jnp.mean(bins.tile_count)):.0f}, "
                   f"overflow={int(bins.overflow)}, "
                   f"dropped={int(bins.dropped_tiles)})", flush=True)
+
+    if "ts2" in stages:
+        # Backend x tile-size cross product (r3: pallas won at ts=16;
+        # ts=32 won for the XLA walk — measure the combination).
+        for backend, ts_, k_, mt in (
+            ("pallas", 32, 2048, 16), ("pallas", 32, 1536, 16),
+            ("xla", 32, 2048, 16), ("pallas", 16, 1024, 32),
+        ):
+            cfg = RasterizeConfig(tile_size=ts_, max_gaussians_per_tile=k_,
+                                  max_tiles_per_gaussian=mt, backend=backend)
+            bins = jax.jit(lambda pr, cfg=cfg: bin_gaussians(
+                pr, W, H, cfg, opacities=opac))(proj)
+            fn = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2)),
+                         static_argnums=(3,))
+            dt = timeit(fn, proj, colors, opac, cfg)
+            print(f"render fwd+bwd {backend} ts={ts_} K={k_} MT={mt}: "
+                  f"{dt*1e3:.1f} ms (overflow={int(bins.overflow)})",
+                  flush=True)
 
     if "gather" in stages:
         key = jax.random.PRNGKey(1)

@@ -217,10 +217,31 @@ class TestTileSharded:
         assert results["tile"][1] == pytest.approx(results["full"][1],
                                                    rel=1e-5)
 
-    def test_tile_shard_rejects_dp_mesh(self):
-        with pytest.raises(ValueError, match="dp=1"):
-            make_sharded_train_step(make_mesh(dp=2), T.small_cfg(), 128,
-                                    tile_shard=True)
+    def test_tile_sharded_composes_with_dp(self):
+        """2-D layout (round-3): dp=2 cameras x gauss=4 tile bands in one
+        program (vmap spmd_axis_name="dp" over the gauss shard_map). The
+        tile-sharded step must match the full-gather step on the SAME
+        dp=2 mesh — loss, psnr and parameter update."""
+        cfg = T.small_cfg()
+        rng = np.random.default_rng(4)
+        state, cam = build()
+        mesh = make_mesh(dp=2, gauss=4)
+
+        b = 2
+        cams = jax.tree.map(lambda l: jnp.broadcast_to(l, (b,) + l.shape), cam)
+        batches = batch_of(rng, b)
+
+        results = {}
+        for name, kw in (("full", {}), ("tile", {"tile_shard": True})):
+            st = shard_train_state(build()[0], mesh)
+            step = make_sharded_train_step(mesh, cfg, 128, **kw)
+            st2, metrics = step(st, cams, batches)
+            results[name] = (np.asarray(st2.field.means),
+                             float(metrics["loss"]), float(metrics["psnr"]))
+        np.testing.assert_allclose(results["tile"][0], results["full"][0],
+                                   atol=1e-6)
+        assert results["tile"][1] == pytest.approx(results["full"][1],
+                                                   rel=1e-5)
 
 
 @pytest.mark.slow
@@ -260,3 +281,92 @@ def test_sharded_host_loop_cli(tmp_path):
     ])
     ckpts = list((out / "sharded" / "checkpoints").iterdir())
     assert len(ckpts) == 1
+
+
+class TestAutoGatherBudget:
+    """derive_gather_budget: the default tile-shard path must skip dead
+    capacity (round-2 verdict weak #5 — a None budget used to transmit
+    the full shard)."""
+
+    def test_derivation_rounding_and_clipping(self):
+        from gaussiangrasper_tpu.parallel.tile_shard import derive_gather_budget
+
+        alive = jnp.zeros(8192, bool).at[:1000].set(True)
+        b = derive_gather_budget(alive, 8)
+        # ceil(1000/8)*1.25 = 157.5 -> 256 after the 128-row quantum
+        assert b == 256
+        assert derive_gather_budget(jnp.zeros(8192, bool), 8) == 128  # floor
+        # budget never exceeds the shard size
+        assert derive_gather_budget(jnp.ones(1024, bool), 8) == 128
+
+    def test_mostly_dead_field_gathers_few_rows(self):
+        """90%-dead field, NO explicit budget: the sharded step derives one
+        from alive, gathers far fewer rows than capacity, zero overflow,
+        and still matches the unsharded image."""
+        import tests.test_rasterize as R
+        from gaussiangrasper_tpu.ops.rasterize import (
+            RasterizeConfig, rasterize_projected,
+        )
+        from gaussiangrasper_tpu.parallel.tile_shard import (
+            derive_gather_budget,
+        )
+
+        n = 8192  # big enough that the 128-row/device quantum is << shard
+        scene = R.make_scene(jax.random.key(4), n, width=64, height=48,
+                             n_channels=4)
+        proj = R.project_scene(scene)
+        # kill 90% of the field the way capacity slots die: no radius
+        alive = (jnp.arange(n) % 10) == 0
+        proj = proj._replace(radii=jnp.where(alive, proj.radii, 0.0))
+        mesh = make_mesh(gauss=8)
+        cfg = RasterizeConfig(tile_chunk=4)
+        bg = jnp.zeros(4)
+        w, h = scene["cam"].width, scene["cam"].height
+
+        budget = derive_gather_budget(alive, mesh.shape["gauss"])
+        assert budget * mesh.shape["gauss"] < n // 2  # skips dead capacity
+
+        out = composite_tile_sharded(
+            proj, scene["colors"], scene["opacities"], bg, w, h, cfg,
+            mesh=mesh, gather_budget=budget,
+        )
+        assert int(out["bins"].gather_overflow) == 0
+        assert int(out["bins"].gathered_rows) <= int(alive.sum())
+        ref = rasterize_projected(
+            proj, scene["colors"], scene["opacities"], bg, w, h, cfg,
+        )
+        np.testing.assert_allclose(np.asarray(out["image"]),
+                                   np.asarray(ref["image"]), atol=1e-6)
+
+    def test_sharded_step_derives_budget_from_alive(self):
+        """make_sharded_train_step(tile_shard=True, alive=...) with no
+        explicit budget builds and runs (the __graft_entry__ leg contract)."""
+        from gaussiangrasper_tpu.engine.train_state import init_train_state
+        from gaussiangrasper_tpu.models.efd import init_mlp
+        from gaussiangrasper_tpu.models.gaussian_field import init_random
+        from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+        from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+        from gaussiangrasper_tpu.parallel.train import (
+            make_sharded_train_step, shard_train_state,
+        )
+        import __graft_entry__ as ge
+
+        cap = 256
+        cfg = GaussianSplatConfig(
+            feature_dim=8,
+            raster=RasterizeConfig(tile_size=8, max_gaussians_per_tile=64,
+                                   tile_chunk=4),
+        )
+        key = jax.random.PRNGKey(0)
+        field, alive, cam = ge._tiny_scene(key, n=64, cap=cap, feature_dim=8)
+        mesh = make_mesh(dp=1)
+        state = init_train_state(key, field, alive, init_mlp(key, 8, 512, (32,)))
+        state = shard_train_state(state, mesh)
+        step = make_sharded_train_step(mesh, cfg, cap, tile_shard=True,
+                                       alive=alive)
+        cams = jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (1,) + l.shape)
+            if hasattr(l, "shape") else l, cam)
+        batches = jax.vmap(ge._tiny_batch)(jax.random.split(key, 1))
+        state, metrics = step(state, cams, batches)
+        assert bool(jnp.isfinite(metrics["loss"]))
