@@ -50,6 +50,12 @@ res <select id="res"><option>160</option><option selected>320</option><option>64
 <span id="fps"></span><br>
 crop min <input id="cx0" value="-99"><input id="cy0" value="-99"><input id="cz0" value="-99"><br>
 crop max <input id="cx1" value="99"><input id="cy1" value="99"><input id="cz1" value="99"><br>
+<button id="addkf">+ keyframe</button> <button id="clearkf">clear</button>
+<span id="nkf">0 kf</span>
+frames <input id="nframes" value="30">
+<button id="renderpath">render path</button> <span id="job"></span><br>
+<a href="/export.ply" download style="color:#8cf">export .ply</a> &middot;
+<a href="/export/pointcloud.ply" download style="color:#8cf">point cloud</a><br>
 drag: orbit &middot; shift-drag: pan &middot; wheel: zoom</div>
 <img id="view">
 <script>
@@ -86,6 +92,22 @@ window.addEventListener('mousemove',e=>{
 window.addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001); refresh();});
 for (const id of ['mode','res','cx0','cy0','cz0','cx1','cy1','cz1'])
   document.getElementById(id).addEventListener('change',refresh);
+// render panel: keyframe the current viewpoint, render the spline offline
+let kfs=[];
+document.getElementById('addkf').onclick=()=>{
+  kfs.push(pose());
+  document.getElementById('nkf').textContent=kfs.length+' kf';};
+document.getElementById('clearkf').onclick=()=>{
+  kfs=[]; document.getElementById('nkf').textContent='0 kf';};
+document.getElementById('renderpath').onclick=async()=>{
+  if(kfs.length<2){document.getElementById('job').textContent='need 2+ kf';return;}
+  document.getElementById('job').textContent='rendering...';
+  const r=await fetch('/render_path',{method:'POST',body:JSON.stringify(
+    {keyframes:kfs, n_frames:parseInt(document.getElementById('nframes').value),
+     mode:document.getElementById('mode').value,
+     res:parseInt(document.getElementById('res').value)})});
+  const j=await r.json();
+  document.getElementById('job').textContent=j.n+' frames -> '+j.dir;};
 refresh(); setInterval(()=>{if(!busy) refresh();}, 2000);
 </script></body></html>"""
 
@@ -136,13 +158,25 @@ class RenderThrottle:
 
 
 def make_server(state_provider, model_cfg, port: int, width: int, height: int,
-                throttle: Optional[RenderThrottle] = None):
+                throttle: Optional[RenderThrottle] = None,
+                out_dir: Optional[Path] = None):
     """HTTP viewer server over a live state source.
 
     state_provider() -> TrainState; called per frame, so a running trainer
     can hand out its latest state (the reference's train-while-view loop,
     viewer_beta/viewer.py:367-406 — here lock-free: a stale/donated state
     mid-step just retries with the fresh one).
+
+    Render + export panels (ref viewer_beta/render_panel.py keyframe →
+    camera-path job, and viewer.py:230-260 export tabs):
+      POST /render_path  {keyframes:[{eye,center,up}..], n_frames, res,
+                          mode} — slerp/lerp spline through the keyframes
+                          (core/camera_paths.interpolate_path), renders
+                          every frame, writes JPEGs under out_dir and
+                          returns {"n", "dir", "frames"}.
+      GET /frames/<name> — fetch a rendered frame back.
+      GET /export.ply    — full Gaussian .ply (scripts/export_ply.py).
+      GET /export/pointcloud.ply — means+rgb point cloud (exporter).
     """
     from PIL import Image
 
@@ -159,11 +193,12 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int,
     lock = threading.Lock()
 
     def render_pose(eye, center, up, mode, res=None, crop_min=None,
-                    crop_max=None):
+                    crop_max=None, c2w=None):
         w = int(res) if res else width
         h = int(round(w * height / width))
         f = 0.7 * w
-        cam = Camera.create(f, f, w / 2, h / 2, look_at(eye, center, up), w, h)
+        pose = c2w if c2w is not None else look_at(eye, center, up)
+        cam = Camera.create(f, f, w / 2, h / 2, pose, w, h)
         cmin = jnp.asarray(crop_min if crop_min is not None else [-1e9] * 3,
                            jnp.float32)
         cmax = jnp.asarray(crop_max if crop_max is not None else [1e9] * 3,
@@ -198,27 +233,103 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int,
         )
         return buf.getvalue()
 
+    frames_dir = Path(out_dir) if out_dir else Path("renders")
+
+    def render_path_job(keyframes, n_frames, mode, res):
+        """Keyframes -> spline -> offline render job (the render panel)."""
+        from gaussiangrasper_tpu.core.camera_paths import interpolate_path
+        from gaussiangrasper_tpu.data.dataparsers.base import ParsedCamera
+
+        w = int(res) if res else width
+        h = int(round(w * height / width))
+        f = 0.7 * w
+        kf_cams = [
+            ParsedCamera(fx=f, fy=f, cx=w / 2, cy=h / 2, width=w, height=h,
+                         camera_to_world=look_at(k["eye"], k["center"],
+                                                 k["up"]))
+            for k in keyframes
+        ]
+        per = max(int(n_frames) // max(len(kf_cams) - 1, 1), 1)
+        path = interpolate_path(kf_cams, steps_per_transition=per)
+        frames_dir.mkdir(parents=True, exist_ok=True)
+        names = []
+        for i, pc in enumerate(path):
+            jpeg = render_pose(
+                pc.camera_to_world[:, 3], None, None, mode, res=w,
+                c2w=pc.camera_to_world,
+            )
+            name = f"path_{i:04d}.jpg"
+            (frames_dir / name).write_bytes(jpeg)
+            names.append(name)
+        return {"n": len(names), "dir": str(frames_dir), "frames": names}
+
+    def export_ply_bytes(pointcloud: bool = False) -> bytes:
+        import tempfile
+
+        state = state_provider()
+        with tempfile.NamedTemporaryFile(suffix=".ply") as tf:
+            p = Path(tf.name)
+            if pointcloud:
+                from gaussiangrasper_tpu.scripts.export_pointcloud import (
+                    write_ply_points,
+                )
+
+                keep = np.asarray(state.alive)
+                xyz = np.asarray(state.field.means)[keep]
+                rgb = np.asarray(
+                    jax.nn.sigmoid(state.field.sh_coeffs[:, 0])
+                )[keep]
+                write_ply_points(p, xyz, (rgb * 255).astype(np.uint8))
+            else:
+                from gaussiangrasper_tpu.scripts.export_ply import (
+                    write_gaussian_ply,
+                )
+
+                write_gaussian_ply(p, state.field, state.alive)
+            return p.read_bytes()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
 
-        def do_GET(self):
+        def _send(self, body: bytes, ctype: str):
             self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Type", ctype)
             self.end_headers()
-            self.wfile.write(PAGE.encode())
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/export.ply":
+                self._send(export_ply_bytes(), "application/octet-stream")
+            elif self.path == "/export/pointcloud.ply":
+                self._send(export_ply_bytes(pointcloud=True),
+                           "application/octet-stream")
+            elif self.path.startswith("/frames/"):
+                name = Path(self.path).name  # no traversal
+                fp = frames_dir / name
+                if fp.exists():
+                    self._send(fp.read_bytes(), "image/jpeg")
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+            else:
+                self._send(PAGE.encode(), "text/html")
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n))
+            if self.path == "/render_path":
+                out = render_path_job(
+                    req["keyframes"], req.get("n_frames", 30),
+                    req.get("mode", "rgb"), req.get("res"),
+                )
+                self._send(json.dumps(out).encode(), "application/json")
+                return
             jpeg = render_pose(
                 req["eye"], req["center"], req["up"], req.get("mode", "rgb"),
                 req.get("res"), req.get("crop_min"), req.get("crop_max"),
             )
-            self.send_response(200)
-            self.send_header("Content-Type", "image/jpeg")
-            self.end_headers()
-            self.wfile.write(jpeg)
+            self._send(jpeg, "image/jpeg")
 
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     server.throttle = throttle  # exposed so the trainer can flip .training
@@ -254,7 +365,8 @@ def main(argv=None) -> None:
 
     config, trainer, state = load_run(args.run_dir)
     server = make_server(
-        lambda: state, config.model, args.port, args.width, args.height
+        lambda: state, config.model, args.port, args.width, args.height,
+        out_dir=args.run_dir / "renders",
     )
     print(f"viewer on http://localhost:{args.port} "
           f"({int(jnp.sum(state.alive))} gaussians)")
