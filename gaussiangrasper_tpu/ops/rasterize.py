@@ -100,7 +100,9 @@ class RasterizeConfig:
 
 
 class TileBins(NamedTuple):
-    tile_gidx: jax.Array    # (T, K) int32 indices into the N arrays; -1 pad
+    tile_gidx: Optional[jax.Array]  # (T, K) int32 indices into the N
+    # arrays, -1 pad — or None when built with build_table=False (the
+    # pair-stream backend reads pair_gidx/seg_starts instead)
     tile_count: jax.Array   # (T,) int32 number of valid entries (pre-clamp)
     num_tiles_hit: jax.Array  # (N,) int32 tiles covered per Gaussian
     overflow: jax.Array     # () int32 total entries dropped by K clamp
@@ -108,6 +110,12 @@ class TileBins(NamedTuple):
     # max_tiles_per_gaussian cap (row-major truncation of oversized splats;
     # nonzero means some tiles rendered without every Gaussian that covers
     # them — surfaced in train metrics alongside `overflow`)
+    pair_gidx: Optional[jax.Array] = None  # (B,) int32 depth-sorted pair
+    # payload (Gaussian index per pair); garbage past the valid prefix
+    pair_starts: Optional[jax.Array] = None  # (T,) int32 stream position
+    # of each tile's first pair
+    pair_overflow: Optional[jax.Array] = None  # () int32 pairs beyond the
+    # static pair budget B (cap-and-report, like overflow)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
@@ -128,6 +136,8 @@ def bin_gaussians(
     height: int,
     config: RasterizeConfig,
     opacities: Optional[jax.Array] = None,
+    build_table: bool = True,
+    keep_pairs: bool = False,
 ) -> TileBins:
     """Build fixed-capacity, depth-ordered per-tile Gaussian index lists.
 
@@ -232,11 +242,28 @@ def bin_gaussians(
     starts = boundaries[:-1]
     tile_count = (boundaries[1:] - starts).astype(jnp.int32)
 
-    # Slice out the first K (front-most) entries of each tile segment.
-    pos2 = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
-    in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
-    pos2 = jnp.clip(pos2, 0, n_pairs - 1)
-    tile_gidx = jnp.where(in_seg, sorted_gidx[pos2], -1)
+    tile_gidx = None
+    if build_table:
+        # Slice out the first K (front-most) entries of each tile segment.
+        pos2 = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < tile_count[:, None]
+        pos2 = jnp.clip(pos2, 0, n_pairs - 1)
+        tile_gidx = jnp.where(in_seg, sorted_gidx[pos2], -1)
+
+    pair_gidx = pair_starts = pair_overflow = None
+    if keep_pairs:
+        # The pair-stream backend reads segments straight off the sorted
+        # payload (rasterize_pallas.composite_pair_stream) — no (T, K)
+        # build. Static budget B bounds the stream it may touch; the
+        # valid prefix beyond B is reported, never silently dropped.
+        B = min(T * K, n_pairs)
+        pair_gidx = sorted_gidx[:B]
+        pair_starts = starts.astype(jnp.int32)
+        clamped = jnp.minimum(tile_count, K)
+        walk_end = jnp.minimum(starts + clamped, B)
+        pair_overflow = jnp.sum(
+            clamped - jnp.maximum(walk_end - jnp.minimum(starts, B), 0)
+        ).astype(jnp.int32)
 
     overflow = jnp.sum(jnp.maximum(tile_count - K, 0))
     dropped_tiles = jnp.sum(jnp.maximum(span - MT, 0)).astype(jnp.int32)
@@ -248,6 +275,9 @@ def bin_gaussians(
         num_tiles_hit=num_tiles_hit,
         overflow=overflow,
         dropped_tiles=dropped_tiles,
+        pair_gidx=pair_gidx,
+        pair_starts=pair_starts,
+        pair_overflow=pair_overflow,
     )
 
 
@@ -391,18 +421,25 @@ def rasterize_projected(
     P = ts * ts
     C = colors.shape[-1]
 
+    backend = config.resolved_backend()
     if bins is None:
-        bins = bin_gaussians(proj, width, height, config, opacities=opacities)
+        # The pair-stream Pallas backend reads segments straight off the
+        # sorted pair payload — skip the (T, K) tile_gidx build entirely
+        # (a measured ~25 ms 1.3M-element gather at the bench point).
+        pairs = backend == "pallas"
+        bins = bin_gaussians(proj, width, height, config,
+                             opacities=opacities, build_table=not pairs,
+                             keep_pairs=pairs)
 
     TC = max(1, min(config.tile_chunk, T))
     n_chunks = -(-T // TC)
     T_pad = n_chunks * TC
     tile_ids = jnp.arange(T_pad, dtype=jnp.int32).reshape(n_chunks, TC)
-    gidx_pad = jnp.pad(
-        bins.tile_gidx, ((0, T_pad - T), (0, 0)), constant_values=-1
-    ).reshape(n_chunks, TC, -1)
+    if bins.tile_gidx is not None:
+        gidx_pad = jnp.pad(
+            bins.tile_gidx, ((0, T_pad - T), (0, 0)), constant_values=-1
+        ).reshape(n_chunks, TC, -1)
 
-    backend = config.resolved_backend()
     if backend == "xla_scan":
         # Legacy full-capacity scan path (autodiff backward). Kept for A/B
         # regression against the work-proportional path below.
@@ -418,15 +455,26 @@ def rasterize_projected(
     elif backend == "pallas":
         from gaussiangrasper_tpu.ops import rasterize_pallas
 
-        # N-level custom_vjp: the fused (T, K, A) attribute gather happens
-        # inside its forward and the backward is one reverse kernel plus
-        # ONE fused global scatter-add (round 3; the round-2 formulation
-        # pre-gathered OUTSIDE and autodiff'd through the gathers, which
-        # lost to the XLA walk end-to-end — docs/ROUND_NOTES.md).
-        out, alpha_im = rasterize_pallas.composite_binned(
-            bins.tile_gidx, bins.tile_count, proj.xys, proj.conics,
-            opacities, colors, background, tw, ts,
-        )
+        if bins.pair_gidx is not None:
+            # Pair-stream marshaling (v3): one row gather of the sorted
+            # pair attribute stream inside the custom_vjp forward, per-
+            # tile segment DMA in the kernels, ONE scatter-add by the
+            # pair payload in the backward. No (T, K) build anywhere.
+            K = min(config.max_gaussians_per_tile, proj.xys.shape[0])
+            out, alpha_im = rasterize_pallas.composite_pair_stream(
+                bins.pair_gidx, bins.pair_starts, bins.tile_count,
+                proj.xys, proj.conics, opacities, colors, background,
+                tw, ts, k_cap=K,
+            )
+        else:
+            # Table path (v2): fused (T, K, A) gather inside the
+            # custom_vjp forward, reverse kernel + ONE fused global
+            # scatter-add backward (used when a prebuilt table bins is
+            # passed in).
+            out, alpha_im = rasterize_pallas.composite_binned(
+                bins.tile_gidx, bins.tile_count, proj.xys, proj.conics,
+                opacities, colors, background, tw, ts,
+            )
         out = jnp.pad(out, ((0, T_pad - T), (0, 0), (0, 0)))
         alpha_im = jnp.pad(alpha_im, ((0, T_pad - T), (0, 0)))
         out = out.reshape(n_chunks, TC, P, C)

@@ -405,3 +405,349 @@ def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
         interpret=not _on_tpu(),
     )
     return out, alpha
+
+
+# ---------------------------------------------------------------------------
+# Pair-stream marshaling (round 3, "v3"): composite straight off the sorted
+# pair array. The (T, K) tile_gidx build (a ~25 ms 1.3M-element gather at
+# the bench point) and the (T, K, A) table gather/materialization disappear;
+# instead ONE row gather produces the depth-sorted pair attribute stream
+# pair_attrs[i] = attrs[sorted_gidx[i]], and each tile's kernel instance
+# DMAs its own contiguous segment [start_t, start_t + count_t) from HBM —
+# reads are work-proportional (only walked rows move). The backward writes
+# pair-space gradients back to HBM at the same offsets (ascending tile
+# order makes window-overrun writes safe: the next tile rewrites its own
+# rows; rows past every window stay at their zero initialization via
+# input/output aliasing) and ONE scatter-add by sorted_gidx maps them to
+# per-Gaussian gradients. Unaligned dynamic-offset DMA validated by
+# scripts_dev/dma_probe.py.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_pairs_kernel(
+    starts_ref, counts_ref,  # scalar prefetch (T,), (T,)
+    pairs_hbm, bg_ref,
+    out_ref, alpha_ref, logt_ref,
+    scratch, sem,
+    *, tw: int, ts: int, c: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    p = ts * ts
+    dtype = out_ref.dtype
+    px, py = _pixel_coords(t, tw, ts, dtype)
+    tri = _tri(dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+    n_chunks = pl.cdiv(count, KC)
+
+    def body(i, state):
+        accum, cum_all, logt_comp = state
+        dma = pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(start + i * KC, KC), :], scratch, sem,
+        )
+        dma.start()
+        dma.wait()
+        xy, con, opac, col = _slab_unpack(scratch[:], c)
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
+        composite = cum > LOG_EPS
+        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+        accum = accum + jnp.dot(w.T, col, preferred_element_type=dtype)
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return accum, cum_all, logt_comp
+
+    init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype),
+            jnp.zeros((1, p), dtype))
+    accum, _, logt = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    t_final = jnp.exp(logt)
+    out_ref[0] = accum + t_final.T * bg_ref[0][None, :]
+    alpha_ref[0] = 1.0 - t_final.T
+    logt_ref[0] = logt.T
+
+
+def _bwd_pairs_kernel(
+    starts_ref, counts_ref,
+    pairs_hbm, bg_ref, g_out_ref, g_alpha_ref, logt_ref, gpairs_in,
+    gpairs_hbm,
+    scratch, gscratch, sem, gsem,
+    *, tw: int, ts: int, c: int,
+):
+    del gpairs_in  # aliased zero-initialized output; only written below
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    p = ts * ts
+    dtype = g_out_ref.dtype
+    px, py = _pixel_coords(t, tw, ts, dtype)
+    tri = _tri(dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+    n_chunks = pl.cdiv(count, KC)
+
+    g_out = g_out_ref[0]
+    t_final = jnp.exp(logt_ref[0])
+    bg = bg_ref[0]
+    bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)
+    tail_pix = (t_final * (bg_dot_g - g_alpha_ref[0])).T
+
+    def fetch(i):
+        dma = pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(start + i * KC, KC), :], scratch, sem,
+        )
+        dma.start()
+        dma.wait()
+        return _slab_unpack(scratch[:], c)
+
+    # Pass 1: total_blend[p] = sum_k w_k <c_k, g_out[p]>.
+    def blend_body(i, state):
+        total, cum_all, logt_comp = state
+        xy, con, opac, col = fetch(i)
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
+        composite = cum > LOG_EPS
+        w = jnp.where(composite,
+                      alpha * jnp.exp(cum - log_t - cum_all + logt_comp), 0.0)
+        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
+        total = total + jnp.sum(w * gc, axis=0, keepdims=True)
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return total, cum_all, logt_comp
+
+    total_blend, _, _ = jax.lax.fori_loop(
+        0, n_chunks, blend_body,
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
+         jnp.zeros((1, p), dtype)),
+    )
+
+    # Pass 2: forward walk; per-slab pair-space grads DMA'd out.
+    def grad_body(i, state):
+        cum_all, logt_comp, pref_carry = state
+        xy, con, opac, col = fetch(i)
+        alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+
+        log_t = jnp.log1p(-alpha)
+        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
+        composite = cum > LOG_EPS
+        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+
+        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
+        wgc = w * gc
+        prefix = jnp.dot(tri, wgc, preferred_element_type=dtype) + pref_carry
+        suffix = total_blend - prefix
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = t_before * gc - (suffix + tail_pix) / one_m
+        dalpha = jnp.where(composite & (w > 0.0), dalpha, 0.0)
+        raw = opac * jnp.exp(-sigma)
+        dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
+        dsigma = -raw * dalpha
+        dopac = jnp.exp(-sigma) * dalpha
+
+        a_ = con[:, 0:1]
+        b_ = con[:, 1:2]
+        c_ = con[:, 2:3]
+        gscratch[:, 0] = -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)
+        gscratch[:, 1] = -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)
+        gscratch[:, 2] = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
+        gscratch[:, 3] = jnp.sum(dx * dy * dsigma, axis=1)
+        gscratch[:, 4] = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
+        gscratch[:, 5] = jnp.sum(dopac, axis=1)
+        gscratch[:, 6 : 6 + c] = jnp.dot(
+            w, g_out, preferred_element_type=dtype
+        )
+        # beyond-count rows must write zeros (they may overrun into the
+        # next tile's head, which rewrites them, or into overflow/stream
+        # tail rows, which must stay zero)
+        gscratch[:] = jnp.where((i * KC + kidx) < count, gscratch[:], 0.0)
+        dma = pltpu.make_async_copy(
+            gscratch, gpairs_hbm.at[pl.ds(start + i * KC, KC), :], gsem,
+        )
+        dma.start()
+        dma.wait()
+
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        return cum_all, logt_comp, prefix[KC - 1 : KC, :]
+
+    jax.lax.fori_loop(
+        0, n_chunks, grad_body,
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
+         jnp.zeros((1, p), dtype)),
+    )
+
+
+def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, interpret):
+    a = pair_attrs.shape[-1]  # LANE-padded
+    p = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((KC, a), pair_attrs.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out, alpha, logt = pl.pallas_call(
+        functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, p, c), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), pair_attrs.dtype),
+        ],
+        interpret=interpret,
+    )(starts, counts, pair_attrs, bg)
+    return out, alpha[..., 0], logt[..., 0]
+
+
+def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
+                    tw, ts, interpret):
+    t = g_out.shape[0]
+    a = pair_attrs.shape[-1]  # LANE-padded
+    c = g_out.shape[-1]
+    p = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[pltpu.VMEM((KC, a), pair_attrs.dtype),
+                        pltpu.VMEM((KC, a), pair_attrs.dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    zeros = jnp.zeros(pair_attrs.shape, pair_attrs.dtype)
+    (gpairs,) = pl.pallas_call(
+        functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(pair_attrs.shape, pair_attrs.dtype)],
+        # the zeros input (flattened input index 7, after the 2 scalar-
+        # prefetch args and 5 tensor inputs) IS the gradient buffer:
+        # aliasing keeps un-walked rows at zero without a kernel-side sweep
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(starts, counts, pair_attrs, bg[None, :] if bg.ndim == 1 else bg,
+      g_out, g_alpha[..., None], logt[..., None], zeros)
+    return gpairs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _composite_pairs(starts_f, counts_f, pair_gidx, xys, conics, opacities,
+                     colors, bg, tw, ts, t):
+    (out, alpha), _ = _composite_pairs_fwd(
+        starts_f, counts_f, pair_gidx, xys, conics, opacities, colors, bg,
+        tw, ts, t,
+    )
+    return out, alpha
+
+
+LANE = 128
+"""Minor-dim width of the HBM pair arrays: Mosaic requires DMA slices to
+be lane-tile (128) aligned along the last dimension, so the (6+C)-column
+attribute rows are padded to 128. Row gathers cost per ROW on this TPU
+(~12 ns regardless of width, docs/ROUND_NOTES.md), so the pad is free at
+the gather and only costs HBM footprint."""
+
+
+def _gather_pairs(pair_gidx, xys, conics, opacities, colors):
+    """ONE row gather of the depth-sorted pair attribute stream, padded by
+    KC rows (so the last DMA window of any tile stays in bounds) and to
+    LANE columns (DMA alignment)."""
+    attrs = jnp.concatenate(
+        [xys, conics, opacities[:, None], colors], axis=1
+    )
+    a = attrs.shape[-1]
+    if a > LANE:
+        raise ValueError(f"attribute width {a} exceeds the {LANE}-lane row")
+    attrs = jnp.pad(attrs, ((0, 0), (0, LANE - a)))
+    gpad = jnp.pad(pair_gidx, (0, KC))
+    return attrs[gpad]
+
+
+def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
+                         opacities, colors, bg, tw, ts, t):
+    starts = starts_f.astype(jnp.int32)
+    counts = counts_f.astype(jnp.int32)
+    pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors)
+    out, alpha, logt = _call_fwd_pairs(
+        starts, counts, pair_attrs, bg[None, :], tw, ts, t,
+        colors.shape[-1], interpret=not _on_tpu(),
+    )
+    res = (starts_f, counts_f, pair_gidx, pair_attrs, bg, logt,
+           xys.shape[0])
+    return (out, alpha), res
+
+
+def _composite_pairs_bwd(tw, ts, t, res, g):
+    starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, n = res
+    g_out, g_alpha = g
+    gpairs = _call_bwd_pairs(
+        starts_f.astype(jnp.int32), counts_f.astype(jnp.int32), pair_attrs,
+        bg, g_out, g_alpha, logt, tw, ts, interpret=not _on_tpu(),
+    )
+    a = 6 + g_out.shape[-1]
+    b = pair_gidx.shape[0]
+    # ONE fused scatter-add: pair-space grads -> per-Gaussian grads. Rows
+    # past every walked window are exactly zero (aliased init), so garbage
+    # indices in the stream tail contribute nothing. (The LANE pad columns
+    # are dropped before the scatter.)
+    acc = jnp.zeros((n, a), gpairs.dtype).at[pair_gidx].add(
+        gpairs[:b, :a])
+    t_final = jnp.exp(logt)
+    gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
+    return (jnp.zeros_like(starts_f), jnp.zeros_like(counts_f),
+            np.zeros(pair_gidx.shape, jax.dtypes.float0),
+            acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:], gbg)
+
+
+_composite_pairs.defvjp(_composite_pairs_fwd, _composite_pairs_bwd)
+
+
+def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
+                          opacities, colors, bg, tw: int, ts: int,
+                          k_cap: int) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable per-tile compositing straight off the sorted pair
+    stream (see the v3 section comment). pair_gidx (B,) int32 is the
+    depth-sorted pair payload (Gaussian index per pair; garbage past the
+    valid prefix is fine — it is never walked); seg_starts (T,) the first
+    stream position of each tile's segment; tile_count (T,) the segment
+    length (pre-clamp). Walks min(count, k_cap, B - start) pairs per tile.
+    Returns (out (T, P, C), alpha (T, P))."""
+    b = pair_gidx.shape[0]
+    t = seg_starts.shape[0]
+    starts = jnp.minimum(seg_starts, b)
+    counts = jnp.minimum(jnp.minimum(tile_count, k_cap),
+                         jnp.maximum(b - starts, 0))
+    return _composite_pairs(
+        starts.astype(jnp.float32), counts.astype(jnp.float32), pair_gidx,
+        xys, conics, opacities, colors, bg, tw, ts, t,
+    )

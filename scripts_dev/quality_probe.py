@@ -37,7 +37,14 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--precision", default=None,
+                   help="jax_default_matmul_precision override "
+                        "(e.g. highest) — TPU default is bf16 MXU passes")
+    p.add_argument("--backend", default=None,
+                   help="rasterize backend override (pallas/xla)")
     args = p.parse_args()
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
     from gaussiangrasper_tpu.core.cameras import Camera
     from gaussiangrasper_tpu.engine.train_state import init_train_state, train_step
@@ -47,7 +54,15 @@ def main():
 
     wh = args.wh
     fdim = 32
-    cfg = GaussianSplatConfig(feature_dim=fdim)
+    if args.backend:
+        from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+
+        cfg = GaussianSplatConfig(
+            feature_dim=fdim,
+            raster=RasterizeConfig(backend=args.backend),
+        )
+    else:
+        cfg = GaussianSplatConfig(feature_dim=fdim)
     key = jax.random.PRNGKey(0)
 
     # GT scene: the bench cloud with fixed colors; cameras orbit slightly.

@@ -139,6 +139,44 @@ def main():
                   f"{dt*1e3:.1f} ms (overflow={int(bins.overflow)})",
                   flush=True)
 
+    if "mt" in stages:
+        # MT sweep at ts=32/pallas: sort+build scale with N*MT; dropped
+        # tiles are the correctness cost to watch.
+        for mt in (16, 12, 10):
+            cfg = RasterizeConfig(max_tiles_per_gaussian=mt, backend="pallas")
+            bins = jax.jit(lambda pr, cfg=cfg: bin_gaussians(
+                pr, W, H, cfg, opacities=opac))(proj)
+            fn = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2)),
+                         static_argnums=(3,))
+            dt = timeit(fn, proj, colors, opac, cfg)
+            print(f"render fwd+bwd pallas ts=32 MT={mt}: {dt*1e3:.1f} ms "
+                  f"(dropped={int(bins.dropped_tiles)}, "
+                  f"overflow={int(bins.overflow)})", flush=True)
+
+    if "sortkey" in stages:
+        # two-key (i32 tile, f32 depth) vs packed single-key i64 sort.
+        key = jax.random.PRNGKey(2)
+        for n_pairs in (2_400_000, 3_200_000):
+            kt = jax.random.randint(key, (n_pairs,), 0, 625, jnp.int32)
+            kd = jax.random.uniform(key, (n_pairs,))
+            payload = jax.random.randint(key, (n_pairs,), 0, N_GAUSS, jnp.int32)
+            fn2 = jax.jit(lambda a, b, c: jax.lax.sort(
+                (a, b, c), num_keys=2, is_stable=True))
+            dt = timeit(fn2, kt, kd, payload)
+            print(f"two-key sort {n_pairs/1e6:.1f}M: {dt*1e3:.2f} ms",
+                  flush=True)
+
+            def packed(a, b, c):
+                # positive floats compare like their bit patterns
+                db = jax.lax.bitcast_convert_type(b, jnp.int32).astype(jnp.int64)
+                k = (a.astype(jnp.int64) << 32) | db
+                return jax.lax.sort((k, c), num_keys=1, is_stable=True)
+
+            fn1 = jax.jit(packed)
+            dt = timeit(fn1, kt, kd, payload)
+            print(f"packed i64 sort {n_pairs/1e6:.1f}M: {dt*1e3:.2f} ms",
+                  flush=True)
+
     if "gather" in stages:
         key = jax.random.PRNGKey(1)
         idx = jax.random.randint(key, (2_560_000,), 0, N_GAUSS, jnp.int32)

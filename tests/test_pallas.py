@@ -139,3 +139,37 @@ def test_saturated_transmittance_cut():
     assert float(ref["alpha"].max()) > 1.0 - 2e-4
     np.testing.assert_allclose(ref["image"], oracle, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(out["image"], oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_pair_stream_budget_and_overflow():
+    """Pair-stream marshaling (v3) budget contract: when the static stream
+    budget B = T*K holds every valid pair, the render matches the XLA
+    table path exactly and pair_overflow is 0; when per-tile counts
+    overflow K so hard that B truncates the stream, the drop is REPORTED
+    (cap-and-report, like the other binning caps), never silent."""
+    from gaussiangrasper_tpu.ops.rasterize import bin_gaussians
+
+    n = 200
+    scene = make_scene(jax.random.key(3), n, width=W, height=H, n_channels=4)
+    proj = project_scene(scene)
+    bg = jnp.zeros(4)
+
+    # Budget holds (K = n): exact match vs the XLA walk + zero overflow.
+    ok_x, ok_p = cfgs(n)  # cfgs returns (xla, pallas)
+    out_p = rasterize_projected(proj, scene["colors"], scene["opacities"],
+                                bg, W, H, ok_p)
+    out_x = rasterize_projected(proj, scene["colors"], scene["opacities"],
+                                bg, W, H, ok_x)
+    np.testing.assert_allclose(np.asarray(out_p["image"]),
+                               np.asarray(out_x["image"]), atol=1e-5)
+    bins = out_p["bins"]
+    assert bins.tile_gidx is None
+    assert bins.pair_gidx.ndim == 1
+    assert int(bins.pair_overflow) == 0
+
+    # Budget broken (tiny K on a dense scene): the report fires.
+    tiny = RasterizeConfig(max_gaussians_per_tile=2, tile_chunk=8,
+                           backend="pallas")
+    bins2 = bin_gaussians(proj, W, H, tiny, opacities=scene["opacities"],
+                          build_table=False, keep_pairs=True)
+    assert int(bins2.pair_overflow) > 0
