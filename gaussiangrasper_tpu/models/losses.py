@@ -34,14 +34,22 @@ def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> jax.Array:
 
 
 def _blur_valid(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Separable gaussian blur with valid padding. img: (H, W, C)."""
+    """Separable gaussian blur with valid padding. img: (H, W, C).
+
+    The convs are pinned to HIGHEST precision: SSIM estimates variances as
+    blur(img^2) - mu^2, a catastrophic cancellation under the TPU's
+    default bf16 conv passes (sigma^2 ~ 1e-4 vs bf16 error ~ 1e-3 on
+    mu^2 ~ 0.25) — measured as a monotone PSNR DECLINE at the 800x800
+    bench point that vanishes at f32 (docs/ROUND_NOTES.md round 3). The
+    11-tap blurs are ~0.5 GFLOP at 800x800, so 6-pass precision is free."""
     k = kernel.shape[0]
     # along H
     x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
     kh = kernel.reshape(1, 1, k, 1)
     kw = kernel.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    hp = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", precision=hp)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", precision=hp)
     return jnp.moveaxis(x[:, 0], 0, -1)  # (H', W', C)
 
 

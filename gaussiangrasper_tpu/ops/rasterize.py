@@ -130,22 +130,26 @@ lower bound d^2/(2*lambda_max) is computed from cov2d while the composite
 evaluates sigma from the conic; the margin absorbs their rounding skew."""
 
 
-def bin_gaussians(
+def enumerate_pairs(
     proj: ProjectedGaussians,
     width: int,
     height: int,
     config: RasterizeConfig,
     opacities: Optional[jax.Array] = None,
-    build_table: bool = True,
-    keep_pairs: bool = False,
-) -> TileBins:
-    """Build fixed-capacity, depth-ordered per-tile Gaussian index lists.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Enumerate candidate (gaussian, covered-tile) pairs.
 
-    When `opacities` is given, candidate (gaussian, tile) pairs whose alpha
-    is provably below the 1/255 compositing cutoff EVERYWHERE in the tile
-    are pruned: alpha = opac * exp(-sigma) and sigma >= d^2 / (2*lmax)
-    where d is the distance from the tile's pixel rect to the splat center
-    and lmax the largest cov2d eigenvalue, so pairs with
+    Returns (keys_tile (N*MT,) int32 with sentinel T for pruned/invalid
+    pairs, keys_depth (N*MT,) f32, row_counts (N,) kept pairs per
+    Gaussian, span (N,) pre-cap covered-tile counts). Shared by
+    bin_gaussians and the distributed merge binning
+    (parallel/tile_shard.py), so keep/prune decisions are bit-identical.
+
+    When `opacities` is given, pairs whose alpha is provably below the
+    1/255 compositing cutoff EVERYWHERE in the tile are pruned:
+    alpha = opac * exp(-sigma) and sigma >= d^2 / (2*lmax) where d is the
+    distance from the tile's pixel rect to the splat center and lmax the
+    largest cov2d eigenvalue, so pairs with
     d^2 > 2*lmax*(log(255*opac) + margin) contribute exactly zero in the
     CUDA/oracle semantics and can be skipped. This both shrinks the bbox
     radius (the CUDA kernel bins a fixed 3-sigma square regardless of
@@ -157,7 +161,6 @@ def bin_gaussians(
     tw, th = tile_grid(width, height, ts)
     T = tw * th
     n = proj.xys.shape[0]
-    K = min(config.max_gaussians_per_tile, n)
     MT = T if config.max_tiles_per_gaussian <= 0 else min(config.max_tiles_per_gaussian, T)
 
     xys = jax.lax.stop_gradient(proj.xys)
@@ -165,10 +168,6 @@ def bin_gaussians(
     depths = jax.lax.stop_gradient(proj.depths)
     alive = radii > 0.0
 
-    # Everything below runs in ORIGINAL index order; depth ordering comes
-    # from the pair sort itself (one stable two-key sort replaces the
-    # round-1 global argsort + column permutes — each of those carried a
-    # measured ~25 ms fixed sort/gather latency on the v5e).
     x = xys[:, 0]
     y = xys[:, 1]
     r = radii
@@ -196,7 +195,7 @@ def bin_gaussians(
     h_span = jnp.maximum(y1 - y0, 0)
     span = jnp.where(alive_s, w_span * h_span, 0)
 
-    # Enumerate pairs (sorted-gaussian, covered-tile) with a static cap MT.
+    # Enumerate pairs (gaussian, covered-tile) with a static cap MT.
     j = jnp.arange(MT, dtype=jnp.int32)  # (MT,)
     w_safe = jnp.maximum(w_span, 1)[:, None]
     dx = j[None, :] % w_safe
@@ -216,21 +215,46 @@ def bin_gaussians(
                                       y[:, None] - (py0 + (ts - 1))), 0.0)
         keep = keep & (ddx * ddx + ddy * ddy <= r_cut2[:, None])
 
-    # ONE stable two-key sort of the grid: primary = tile id (sentinel T
-    # for pruned/invalid pairs), secondary = camera depth, payload = the
-    # original Gaussian index. Stable ties fall back to grid order =
-    # original index order, exactly the oracle's stable depth argsort
-    # semantics. (Measured alternatives on the v5e: a separate global
-    # depth argsort + column permutes each carry ~25 ms of fixed
-    # sort/gather latency; a cumsum+scatter pair compaction was slower
-    # than the 2x bigger sort it avoided.)
     row_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)  # (N,)
+    keys_tile = jnp.where(keep, tid, T).reshape(-1)
+    keys_depth = jnp.broadcast_to(depths[:, None], (n, MT)).reshape(-1)
+    return keys_tile, keys_depth, row_counts, span
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    config: RasterizeConfig,
+    opacities: Optional[jax.Array] = None,
+    build_table: bool = True,
+    keep_pairs: bool = False,
+) -> TileBins:
+    """Build fixed-capacity, depth-ordered per-tile Gaussian index lists
+    (see enumerate_pairs for the pruning semantics)."""
+    ts = config.tile_size
+    tw, th = tile_grid(width, height, ts)
+    T = tw * th
+    n = proj.xys.shape[0]
+    K = min(config.max_gaussians_per_tile, n)
+    MT = T if config.max_tiles_per_gaussian <= 0 else min(config.max_tiles_per_gaussian, T)
+
+    # Everything runs in ORIGINAL index order; depth ordering comes from
+    # the pair sort itself — ONE stable two-key sort of the grid: primary
+    # = tile id (sentinel T for pruned/invalid pairs), secondary = camera
+    # depth, payload = the original Gaussian index. Stable ties fall back
+    # to grid order = original index order, exactly the oracle's stable
+    # depth argsort semantics. (Measured alternatives on the v5e: a
+    # separate global depth argsort + column permutes each carry ~25 ms
+    # of fixed sort/gather latency; a cumsum+scatter pair compaction was
+    # slower than the 2x bigger sort it avoided.)
+    keys_tile, keys_depth, row_counts, span = enumerate_pairs(
+        proj, width, height, config, opacities
+    )
     gidx_grid = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, MT)
     )
     n_pairs = n * MT
-    keys_tile = jnp.where(keep, tid, T).reshape(-1)
-    keys_depth = jnp.broadcast_to(depths[:, None], (n, MT)).reshape(-1)
     sorted_tile, _, sorted_gidx = jax.lax.sort(
         (keys_tile, keys_depth, gidx_grid.reshape(-1)),
         num_keys=2, is_stable=True,

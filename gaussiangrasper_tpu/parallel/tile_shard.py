@@ -50,6 +50,8 @@ except ImportError:  # pragma: no cover
 from gaussiangrasper_tpu.ops.projection import ProjectedGaussians
 from gaussiangrasper_tpu.ops.rasterize import (
     RasterizeConfig,
+    TileBins,
+    enumerate_pairs,
     rasterize_projected,
     tile_grid,
 )
@@ -64,6 +66,8 @@ class ShardedBins(NamedTuple):
     gathered_rows: jax.Array   # () int32, culled rows actually gathered
     gather_overflow: jax.Array  # () int32, rows dropped by gather_budget
     gathered_bytes: jax.Array  # () int32, bytes each device received
+    merge_overflow: Optional[jax.Array] = None  # () int32, in-band pairs
+    # dropped by the per-source band_pair_budget (merge binning only)
 
 
 def derive_gather_budget(alive, d: int, *, margin: float = 1.25,
@@ -100,6 +104,8 @@ def composite_tile_sharded(
     mesh: Mesh,
     axis: str = "gauss",
     gather_budget: Optional[int] = None,
+    bin_mode: str = "merge",
+    band_pair_budget: Optional[int] = None,
 ):
     """Drop-in replacement for `rasterize_projected` that shards the
     compositing over `axis`. All N-leading inputs must be sharded (or
@@ -110,6 +116,26 @@ def composite_tile_sharded(
     all-gather. None = the full shard size (exact for any input, but
     transmits dead slots too); smaller budgets bound ICI traffic and
     report drops in `bins.gather_overflow`.
+
+    bin_mode:
+      "merge" (default) — bin ONCE, distributed (round-3): each device
+        enumerates + sorts only ITS shard's survivor pairs (a 1/D-size
+        sort), the sorted pair streams ride the same all-gather as the
+        attributes, and each band extracts its in-band slice from every
+        source stream (contiguous dynamic slices — streams are
+        tile-sorted) and merges them with one (tile, depth, global-index)
+        three-key sort, also 1/D-size. Total order == the single-device
+        stable (tile, depth) order because the global index encodes
+        (shard, compaction rank) = original index order, so images and
+        gradients still bit-match the unsharded path. Replaces the
+        round-2 scheme where every band re-sorted the full N*MT grid
+        (the admitted D x duplicated sort).
+      "replicated" — the round-2 behavior (each band runs the full
+        binning on the gathered set); kept for A/B.
+
+    band_pair_budget: per-source cap on in-band pairs during extraction
+    (merge mode). None = 2x the balanced share, rounded to 128. Overflow
+    is reported in bins.merge_overflow — cap-and-report, never silent.
     """
     n = proj.xys.shape[0]
     d = mesh.shape[axis]
@@ -127,6 +153,84 @@ def composite_tile_sharded(
 
     # attribute layout: xy(2) depth(1) conic(3) cov2d(3) radius(1) opac(1) color(C)
     a_dim = 11 + c
+    T = tw * th
+    t_band = (th_pad // d) * tw  # tiles per band (global ids contiguous)
+    mt = T if config.max_tiles_per_gaussian <= 0 else min(
+        config.max_tiles_per_gaussian, T)
+    k_cap = min(config.max_gaussians_per_tile, d * v)
+    if band_pair_budget is None:
+        # 2x the balanced share of one source's pairs landing in one band
+        band_pair_budget = max(128, -(-(2 * v * mt) // (d * 128)) * 128)
+    bpb = band_pair_budget
+
+    def merge_binned_band(buf, band, lo):
+        """Distributed bin-once: local sort of this shard's pairs runs on
+        every device for ITS OWN survivors (before any band logic); the
+        sorted streams are all-gathered and each band merges its slices."""
+        local_proj = ProjectedGaussians(
+            xys=buf[:, 0:2], depths=buf[:, 2], conics=buf[:, 3:6],
+            radii=buf[:, 9], cov2d=buf[:, 6:9],
+        )
+        kt, kd, _, span = enumerate_pairs(
+            local_proj, width, height, config, buf[:, 10]
+        )
+        rows = jnp.broadcast_to(
+            jnp.arange(v, dtype=jnp.int32)[:, None], (v, mt)
+        ).reshape(-1)
+        st, sd, sp = jax.lax.sort((kt, kd, rows), num_keys=2, is_stable=True)
+        g_t = jax.lax.all_gather(st, axis)  # (d, v*mt)
+        g_d = jax.lax.all_gather(sd, axis)
+        g_p = jax.lax.all_gather(sp, axis)
+
+        hi = jnp.minimum(lo + t_band, T)
+
+        def extract(row_t, row_d, row_p):
+            a = jnp.searchsorted(row_t, lo)
+            b = jnp.searchsorted(row_t, hi)
+            take = jnp.minimum(b - a, bpb)
+            tt = jax.lax.dynamic_slice_in_dim(row_t, a, bpb)
+            dd = jax.lax.dynamic_slice_in_dim(row_d, a, bpb)
+            pp = jax.lax.dynamic_slice_in_dim(row_p, a, bpb)
+            i = jnp.arange(bpb, dtype=jnp.int32)
+            tt = jnp.where(i < take, tt, T)
+            return tt, dd, pp, jnp.maximum(b - a - bpb, 0)
+
+        # pad streams so the dynamic slice never clips its window
+        padd = lambda x, val: jnp.pad(x, ((0, 0), (0, bpb)),
+                                      constant_values=val)
+        tt, dd, pp, ovf = jax.vmap(extract)(
+            padd(g_t, T), padd(g_d, 0.0), padd(g_p, 0)
+        )
+        gg = pp + (jnp.arange(d, dtype=jnp.int32) * v)[:, None]
+        m_t, _, m_g = jax.lax.sort(
+            (tt.reshape(-1), dd.reshape(-1), gg.reshape(-1)), num_keys=3
+        )
+        bt = m_t - lo  # band-relative tile ids (sentinels stay large)
+        boundaries = jnp.searchsorted(
+            bt, jnp.arange(t_band + 1, dtype=jnp.int32)
+        )
+        starts_b = boundaries[:-1].astype(jnp.int32)
+        counts_b = (boundaries[1:] - boundaries[:-1]).astype(jnp.int32)
+
+        if config.resolved_backend() == "pallas":
+            tile_gidx = None
+            pair_fields = dict(pair_gidx=m_g, pair_starts=starts_b,
+                               pair_overflow=jnp.zeros((), jnp.int32))
+        else:
+            pos2 = starts_b[:, None] + jnp.arange(k_cap, dtype=jnp.int32)
+            in_seg = jnp.arange(k_cap, dtype=jnp.int32)[None, :] < counts_b[:, None]
+            pos2 = jnp.clip(pos2, 0, m_g.shape[0] - 1)
+            tile_gidx = jnp.where(in_seg, m_g[pos2], -1)
+            pair_fields = {}
+        bins = TileBins(
+            tile_gidx=tile_gidx,
+            tile_count=counts_b,
+            num_tiles_hit=jnp.zeros((d * v,), jnp.int32),
+            overflow=jnp.sum(jnp.maximum(counts_b - k_cap, 0)),
+            dropped_tiles=jnp.sum(jnp.maximum(span - mt, 0)).astype(jnp.int32),
+            **pair_fields,
+        )
+        return bins, jnp.sum(ovf)
 
     def shard_fn(xys, depths, conics, radii, cov2d, cols, opac, bg):
         # -- 2. compact culled survivors (order-preserving) --
@@ -143,11 +247,17 @@ def composite_tile_sharded(
         local_count = jnp.sum(vis, dtype=jnp.int32)
         local_overflow = jnp.maximum(local_count - v, 0)
 
+        band = jax.lax.axis_index(axis)
+        lo = (band * t_band).astype(jnp.int32)
+        band_bins = None
+        merge_ovf = jnp.zeros((), jnp.int32)
+        if bin_mode == "merge":
+            band_bins, merge_ovf = merge_binned_band(buf, band, lo)
+
         # -- 3. the frustum-culled all-gather --
         g = jax.lax.all_gather(buf, axis, tiled=True)  # (d*v, A)
 
-        # -- 4. bin + composite this device's tile band --
-        band = jax.lax.axis_index(axis)
+        # -- 4. composite this device's tile band --
         y_off = (band * hb).astype(g.dtype)
         gproj = ProjectedGaussians(
             xys=g[:, 0:2] - jnp.array([0.0, 1.0], g.dtype) * y_off,
@@ -158,6 +268,7 @@ def composite_tile_sharded(
         )
         out = rasterize_projected(
             gproj, g[:, 11:], g[:, 10], bg, width, hb, config,
+            bins=band_bins,
         )
         bins = out["bins"]
         stats = (
@@ -165,6 +276,7 @@ def composite_tile_sharded(
             jax.lax.psum(bins.dropped_tiles, axis),
             jax.lax.psum(local_count, axis),
             jax.lax.psum(local_overflow, axis),
+            jax.lax.psum(merge_ovf, axis),
         )
         return out["image"], out["alpha"], stats
 
@@ -176,7 +288,8 @@ def composite_tile_sharded(
         mesh=mesh,
         in_specs=(spec_n, spec_n, spec_n, spec_n, spec_n, spec_n, spec_n,
                   spec_rep),
-        out_specs=(out_img, out_img, (spec_rep, spec_rep, spec_rep, spec_rep)),
+        out_specs=(out_img, out_img,
+                   (spec_rep, spec_rep, spec_rep, spec_rep, spec_rep)),
         check_vma=False,
     )
     image, alpha, stats = fn(
@@ -185,22 +298,26 @@ def composite_tile_sharded(
     )
     image = image[:height]
     alpha = alpha[:height]
-    overflow, dropped, gathered_rows, gather_overflow = stats
+    overflow, dropped, gathered_rows, gather_overflow, merge_ovf = stats
     bins = ShardedBins(
         overflow=overflow,
         dropped_tiles=dropped,
         gathered_rows=gathered_rows,
         gather_overflow=gather_overflow,
         gathered_bytes=gathered_rows * (a_dim * 4) * (d - 1) // d,
+        merge_overflow=merge_ovf,
     )
     return {"image": image, "alpha": alpha, "bins": bins}
 
 
 def tile_sharded_compositor(mesh: Mesh, axis: str = "gauss",
-                            gather_budget: Optional[int] = None):
+                            gather_budget: Optional[int] = None,
+                            bin_mode: str = "merge",
+                            band_pair_budget: Optional[int] = None):
     """A `compositor` for models.model.render: returns a callable with the
     rasterize_projected signature bound to the mesh."""
     return partial(
         composite_tile_sharded, mesh=mesh, axis=axis,
-        gather_budget=gather_budget,
+        gather_budget=gather_budget, bin_mode=bin_mode,
+        band_pair_budget=band_pair_budget,
     )

@@ -368,3 +368,28 @@ class TestProposal:
         # proposal grids train through the interlevel loss
         assert float(jnp.abs(g["proposal_0"]["grid"]["table"]).max()) > 0
         assert float(jnp.abs(g["grid"]["table"]).max()) > 0
+
+
+@pytest.mark.slow
+class TestQualityRegression:
+    def test_psnr_climbs_at_density(self):
+        """Quality-at-scale guard (round-3): from-scratch training at the
+        bench DENSITY (12.5k Gaussians @ 200x200, the 200k/800x800 point
+        scaled by area) must climb >= +3 dB in 120 steps. This is the gate
+        that caught the TPU bf16-SSIM cancellation bug — a perf change
+        that silently breaks optimization at scale fails here while every
+        small oracle test still passes. Full-scale TPU curve:
+        scripts_dev/quality_probe.py (docs/ROUND_NOTES.md)."""
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).parent.parent
+        r = subprocess.run(
+            [sys.executable, str(repo / "scripts_dev" / "quality_probe.py"),
+             "--n", "12500", "--wh", "200", "--steps", "120", "--views",
+             "4", "--log-every", "40"],
+            capture_output=True, text=True, timeout=1500,
+            env={**__import__("os").environ, "GGT_PLATFORM": "cpu"},
+        )
+        assert "QUALITY OK" in r.stdout, r.stdout[-2000:] + r.stderr[-500:]

@@ -370,3 +370,72 @@ class TestAutoGatherBudget:
         batches = jax.vmap(ge._tiny_batch)(jax.random.split(key, 1))
         state, metrics = step(state, cams, batches)
         assert bool(jnp.isfinite(metrics["loss"]))
+
+
+class TestMergeBinning:
+    """Round-3 bin-once: per-device sorts are 1/D-size (local shard pairs
+    + band merge) instead of every band re-sorting the full gathered
+    N*MT grid (the round-2 duplicated sort)."""
+
+    def test_full_size_sort_gone_from_hlo(self):
+        import re
+
+        import tests.test_rasterize as R
+        from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+
+        n, w, h = 640, 64, 48
+        scene = R.make_scene(jax.random.key(7), n, width=w, height=h,
+                             n_channels=4)
+        proj = R.project_scene(scene)
+        mesh = make_mesh(gauss=8)
+        cfg = RasterizeConfig(tile_size=8, tile_chunk=4,
+                              max_tiles_per_gaussian=8)
+        bg = jnp.zeros(4)
+        d = 8
+        mt = 8
+        full_pairs = n * mt          # what each band sorted in round 2
+        local_pairs = (n // d) * mt  # the merge path's per-device sort
+
+        def run(mode):
+            f = jax.jit(lambda p, c, o: composite_tile_sharded(
+                p, c, o, bg, w, h, cfg, mesh=mesh, bin_mode=mode
+            )["image"])
+            return f.lower(proj, scene["colors"],
+                           scene["opacities"]).compile().as_text()
+
+        def sort_sizes(hlo):
+            # result shape of each sort op: %sort.N = (s32[SIZE]{0}, ...
+            return [int(m) for m in re.findall(
+                r"%sort\.?\d*\s*=\s*\(?[a-z0-9]+\[(\d+)\]", hlo)]
+
+        merge_sizes = sort_sizes(run("merge"))
+        repl_sizes = sort_sizes(run("replicated"))
+        assert any(s >= full_pairs for s in repl_sizes), repl_sizes
+        assert merge_sizes and all(s < full_pairs for s in merge_sizes), (
+            merge_sizes)
+        assert any(s == local_pairs for s in merge_sizes), merge_sizes
+
+    def test_merge_matches_replicated_and_unsharded(self):
+        import tests.test_rasterize as R
+        from gaussiangrasper_tpu.ops.rasterize import (
+            RasterizeConfig, rasterize_projected,
+        )
+
+        scene = R.make_scene(jax.random.key(8), 720, width=96, height=64,
+                             n_channels=5)
+        proj = R.project_scene(scene)
+        mesh = make_mesh(gauss=8)
+        cfg = RasterizeConfig(tile_chunk=4)
+        bg = jnp.linspace(0, 1, 5)
+        w, h = 96, 64
+        ref = rasterize_projected(proj, scene["colors"], scene["opacities"],
+                                  bg, w, h, cfg)
+        for mode in ("merge", "replicated"):
+            out = composite_tile_sharded(
+                proj, scene["colors"], scene["opacities"], bg, w, h, cfg,
+                mesh=mesh, bin_mode=mode,
+            )
+            np.testing.assert_allclose(np.asarray(out["image"]),
+                                       np.asarray(ref["image"]), atol=1e-6,
+                                       err_msg=mode)
+        assert int(out["bins"].merge_overflow) == 0
