@@ -83,6 +83,13 @@ class RasterizeConfig:
     backend: str = "auto"
     """'pallas' (TPU kernel; interpreted elsewhere), 'xla' (pure lax, runs
     everywhere), or 'auto' (pallas on TPU, xla otherwise)."""
+    pair_budget_per_tile: int = 0
+    """Static pair-stream budget B = T * pair_budget_per_tile (0 = use K,
+    the per-tile walk clamp). B bounds the rows the pair-stream backend
+    gathers/scatters (the per-ROW-cost ops, docs/ROUND_NOTES.md), while K
+    bounds one tile's walk — the budget is a MEAN-occupancy knob, K a
+    worst-case one. Segments clipped by B are counted in
+    TileBins.pair_overflow (surfaced in train metrics), never silent."""
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -280,7 +287,8 @@ def bin_gaussians(
         # payload (rasterize_pallas.composite_pair_stream) — no (T, K)
         # build. Static budget B bounds the stream it may touch; the
         # valid prefix beyond B is reported, never silently dropped.
-        B = min(T * K, n_pairs)
+        pb = config.pair_budget_per_tile or K
+        B = min(T * pb, n_pairs)
         pair_gidx = sorted_gidx[:B]
         pair_starts = starts.astype(jnp.int32)
         clamped = jnp.minimum(tile_count, K)

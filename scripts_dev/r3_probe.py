@@ -153,8 +153,58 @@ def main():
                   f"(dropped={int(bins.dropped_tiles)}, "
                   f"overflow={int(bins.overflow)})", flush=True)
 
+    if "v3" in stages:
+        # Stage decomposition of the pair-stream (v3) backend + budget
+        # sweep. Stage timings each pay the ~24 ms dispatch floor once;
+        # the fused step pays it once total.
+        from gaussiangrasper_tpu.ops import rasterize_pallas
+
+        cfg = RasterizeConfig(backend="pallas")
+        bin_fn = jax.jit(lambda pr: bin_gaussians(
+            pr, W, H, cfg, opacities=opac, build_table=False,
+            keep_pairs=True))
+        dt = timeit(bin_fn, proj)
+        bins = bin_fn(proj)
+        print(f"v3 binning (sort+boundaries): {dt*1e3:.1f} ms "
+              f"(B={bins.pair_gidx.shape[0]}, "
+              f"pairs={int(jnp.sum(jnp.minimum(bins.tile_count, 2048)))}, "
+              f"pair_overflow={int(bins.pair_overflow)})", flush=True)
+
+        g_fn = jax.jit(lambda gi: rasterize_pallas._gather_pairs(
+            gi, proj.xys, proj.conics, opac, colors))
+        dt = timeit(g_fn, bins.pair_gidx)
+        print(f"v3 pair gather ({bins.pair_gidx.shape[0]/1e6:.2f}M x 128): "
+              f"{dt*1e3:.1f} ms", flush=True)
+
+        tw_, th_ = (W + 31) // 32, (H + 31) // 32
+        fwd_fn = jax.jit(lambda gi, st, tc: rasterize_pallas.composite_pair_stream(
+            gi, st, tc, proj.xys, proj.conics, opac, colors, bg,
+            tw_, 32, k_cap=2048)[0])
+        dt = timeit(fwd_fn, bins.pair_gidx, bins.pair_starts, bins.tile_count)
+        print(f"v3 fwd (gather+kernel): {dt*1e3:.1f} ms", flush=True)
+
+        for pb in (0, 1536, 1280, 1024):
+            cfg = RasterizeConfig(backend="pallas", pair_budget_per_tile=pb)
+            bins_b = jax.jit(lambda pr, cfg=cfg: bin_gaussians(
+                pr, W, H, cfg, opacities=opac, build_table=False,
+                keep_pairs=True))(proj)
+            fn = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2)),
+                         static_argnums=(3,))
+            dt = timeit(fn, proj, colors, opac, cfg)
+            print(f"v3 fwd+bwd pair_budget={pb or 'K'}: {dt*1e3:.1f} ms "
+                  f"(B={bins_b.pair_gidx.shape[0]}, "
+                  f"pair_overflow={int(bins_b.pair_overflow)})", flush=True)
+
     if "sortkey" in stages:
         # two-key (i32 tile, f32 depth) vs packed single-key i64 sort.
+        # NOTE: the packed variant needs JAX_ENABLE_X64=1 (int64 silently
+        # truncates to int32 otherwise, making its timing meaningless);
+        # adopting it repo-wide would force x64 globally, so it is only
+        # worth pursuing if the win is large.
+        packed_ok = jax.config.jax_enable_x64
+        if not packed_ok:
+            print("sortkey: x64 disabled - packed i64 timing SKIPPED",
+                  flush=True)
         key = jax.random.PRNGKey(2)
         for n_pairs in (2_400_000, 3_200_000):
             kt = jax.random.randint(key, (n_pairs,), 0, 625, jnp.int32)
@@ -166,16 +216,18 @@ def main():
             print(f"two-key sort {n_pairs/1e6:.1f}M: {dt*1e3:.2f} ms",
                   flush=True)
 
-            def packed(a, b, c):
-                # positive floats compare like their bit patterns
-                db = jax.lax.bitcast_convert_type(b, jnp.int32).astype(jnp.int64)
-                k = (a.astype(jnp.int64) << 32) | db
-                return jax.lax.sort((k, c), num_keys=1, is_stable=True)
+            if packed_ok:
+                def packed(a, b, c):
+                    # positive floats compare like their bit patterns
+                    db = jax.lax.bitcast_convert_type(b, jnp.int32)
+                    db = db.astype(jnp.int64) & 0xFFFFFFFF
+                    k = (a.astype(jnp.int64) << 32) | db
+                    return jax.lax.sort((k, c), num_keys=1, is_stable=True)
 
-            fn1 = jax.jit(packed)
-            dt = timeit(fn1, kt, kd, payload)
-            print(f"packed i64 sort {n_pairs/1e6:.1f}M: {dt*1e3:.2f} ms",
-                  flush=True)
+                fn1 = jax.jit(packed)
+                dt = timeit(fn1, kt, kd, payload)
+                print(f"packed i64 sort {n_pairs/1e6:.1f}M: {dt*1e3:.2f} ms",
+                      flush=True)
 
     if "gather" in stages:
         key = jax.random.PRNGKey(1)

@@ -173,3 +173,24 @@ def test_pair_stream_budget_and_overflow():
     bins2 = bin_gaussians(proj, W, H, tiny, opacities=scene["opacities"],
                           build_table=False, keep_pairs=True)
     assert int(bins2.pair_overflow) > 0
+
+    # pair_budget_per_tile decouples the stream budget from K: a budget
+    # that still holds every valid pair keeps the exact match (with a
+    # smaller B), one that cannot reports pair_overflow.
+    T = int(bins.pair_starts.shape[0])
+    valid = int(jnp.sum(bins.tile_count))
+    pb = -(-valid // T) + 1  # mean occupancy rounded up + 1 slack
+    mean_fit = RasterizeConfig(max_gaussians_per_tile=n, tile_chunk=8,
+                               backend="pallas", pair_budget_per_tile=pb)
+    out_b = rasterize_projected(proj, scene["colors"], scene["opacities"],
+                                bg, W, H, mean_fit)
+    np.testing.assert_allclose(np.asarray(out_b["image"]),
+                               np.asarray(out_x["image"]), atol=1e-5)
+    assert int(out_b["bins"].pair_overflow) == 0
+    assert out_b["bins"].pair_gidx.shape[0] <= bins.pair_gidx.shape[0]
+    starve = RasterizeConfig(max_gaussians_per_tile=n, tile_chunk=8,
+                             backend="pallas", pair_budget_per_tile=1)
+    bins3 = bin_gaussians(proj, W, H, starve, opacities=scene["opacities"],
+                          build_table=False, keep_pairs=True)
+    assert bins3.pair_gidx.shape[0] < bins.pair_gidx.shape[0]
+    assert int(bins3.pair_overflow) > 0
