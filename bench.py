@@ -27,6 +27,17 @@ import jax
 if os.environ.get("GGT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GGT_PLATFORM"])
 
+# Persistent compilation cache: the fused train step's first compile
+# through the tunnel has measured up to ~20 min (round 3); a warm cache
+# cuts a repeat bench to seconds. Harmless if the backend doesn't
+# support executable serialization (the cache just stays cold).
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GGT_COMPILE_CACHE", "/tmp/ggt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 N_GAUSS = 200_000

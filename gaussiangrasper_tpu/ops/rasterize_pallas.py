@@ -413,11 +413,16 @@ def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
 # the bench point) and the (T, K, A) table gather/materialization disappear;
 # instead ONE row gather produces the depth-sorted pair attribute stream
 # pair_attrs[i] = attrs[sorted_gidx[i]], and each tile's kernel instance
-# DMAs its own contiguous segment [start_t, start_t + count_t) from HBM —
-# reads are work-proportional (only walked rows move). The backward writes
-# pair-space gradients back to HBM at the same offsets (ascending tile
-# order makes window-overrun writes safe: the next tile rewrites its own
-# rows; rows past every window stay at their zero initialization via
+# stages its contiguous segment [start_t, start_t + kr) into VMEM with ONE
+# DMA (kr = K rounded to a KC multiple; the stream is padded by kr rows).
+# Whole-segment staging replaced per-slab start/wait DMAs after the slab
+# DMA latency (~2.4 us x K/KC slabs x {1 fwd, 2 bwd} per tile) measured
+# as the dominant kernel cost; one ~1 MB transfer per tile is bandwidth-
+# bound and serves both backward passes. The backward accumulates
+# pair-space gradients in a VMEM window and flushes kr rows with ONE DMA
+# at the same offsets (ascending tile order makes window-overrun writes
+# safe: the next tile rewrites its own rows later in the sequential grid;
+# rows past every window stay at their zero initialization via
 # input/output aliasing) and ONE scatter-add by sorted_gidx maps them to
 # per-Gaussian gradients. Unaligned dynamic-offset DMA validated by
 # scripts_dev/dma_probe.py.
@@ -429,7 +434,7 @@ def _fwd_pairs_kernel(
     pairs_hbm, bg_ref,
     out_ref, alpha_ref, logt_ref,
     scratch, sem,
-    *, tw: int, ts: int, c: int,
+    *, tw: int, ts: int, c: int, kr: int,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -441,14 +446,24 @@ def _fwd_pairs_kernel(
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
     n_chunks = pl.cdiv(count, KC)
 
+    # Stage the WHOLE tile segment with ONE DMA (kr = K rounded up to a
+    # KC multiple; the pair array is padded by kr rows so the window
+    # always lands in bounds). One ~1 MB transfer per tile amortizes the
+    # DMA issue+latency that a per-slab start/wait pays ~K/KC times —
+    # measured ~2.4 us/slab on the v5e, i.e. most of the kernel time at
+    # the bench point (docs/ROUND_NOTES.md round 3).
+    seg = pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start, kr), :], scratch, sem,
+    )
+
+    @pl.when(count > 0)
+    def _stage():
+        seg.start()
+        seg.wait()
+
     def body(i, state):
         accum, cum_all, logt_comp = state
-        dma = pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(start + i * KC, KC), :], scratch, sem,
-        )
-        dma.start()
-        dma.wait()
-        xy, con, opac, col = _slab_unpack(scratch[:], c)
+        xy, con, opac, col = _slab_unpack(scratch[pl.ds(i * KC, KC), :], c)
         alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
@@ -478,7 +493,7 @@ def _bwd_pairs_kernel(
     pairs_hbm, bg_ref, g_out_ref, g_alpha_ref, logt_ref, gpairs_in,
     gpairs_hbm,
     scratch, gscratch, sem, gsem,
-    *, tw: int, ts: int, c: int,
+    *, tw: int, ts: int, c: int, kr: int,
 ):
     del gpairs_in  # aliased zero-initialized output; only written below
     t = pl.program_id(0)
@@ -497,13 +512,19 @@ def _bwd_pairs_kernel(
     bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)
     tail_pix = (t_final * (bg_dot_g - g_alpha_ref[0])).T
 
+    # ONE staging DMA serves BOTH walk passes (the per-slab start/wait of
+    # the first cut paid the DMA latency ~2x K/KC times per tile).
+    seg = pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start, kr), :], scratch, sem,
+    )
+
+    @pl.when(count > 0)
+    def _stage():
+        seg.start()
+        seg.wait()
+
     def fetch(i):
-        dma = pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(start + i * KC, KC), :], scratch, sem,
-        )
-        dma.start()
-        dma.wait()
-        return _slab_unpack(scratch[:], c)
+        return _slab_unpack(scratch[pl.ds(i * KC, KC), :], c)
 
     # Pass 1: total_blend[p] = sum_k w_k <c_k, g_out[p]>.
     def blend_body(i, state):
@@ -530,7 +551,17 @@ def _bwd_pairs_kernel(
          jnp.zeros((1, p), dtype)),
     )
 
-    # Pass 2: forward walk; per-slab pair-space grads DMA'd out.
+    # Pass 2: forward walk; pair-space grads accumulate in gscratch and
+    # flush with ONE DMA per tile.
+    @pl.when(count > 0)
+    def _zero():
+        # rows past the walked prefix are stale from the previous tile's
+        # segment; the flush writes all kr rows, so they must be zeroed
+        # (they may overrun into the next tile's head, which rewrites
+        # them later — the grid runs sequentially ascending — or into
+        # stream-tail rows, which must stay zero).
+        gscratch[:] = jnp.zeros((kr, gscratch.shape[1]), dtype)
+
     def grad_body(i, state):
         cum_all, logt_comp, pref_carry = state
         xy, con, opac, col = fetch(i)
@@ -559,24 +590,22 @@ def _bwd_pairs_kernel(
         a_ = con[:, 0:1]
         b_ = con[:, 1:2]
         c_ = con[:, 2:3]
-        gscratch[:, 0] = -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)
-        gscratch[:, 1] = -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)
-        gscratch[:, 2] = jnp.sum(0.5 * dx * dx * dsigma, axis=1)
-        gscratch[:, 3] = jnp.sum(dx * dy * dsigma, axis=1)
-        gscratch[:, 4] = jnp.sum(0.5 * dy * dy * dsigma, axis=1)
-        gscratch[:, 5] = jnp.sum(dopac, axis=1)
-        gscratch[:, 6 : 6 + c] = jnp.dot(
-            w, g_out, preferred_element_type=dtype
+        slab = jnp.concatenate(
+            [
+                -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)[:, None],
+                -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)[:, None],
+                jnp.sum(0.5 * dx * dx * dsigma, axis=1)[:, None],
+                jnp.sum(dx * dy * dsigma, axis=1)[:, None],
+                jnp.sum(0.5 * dy * dy * dsigma, axis=1)[:, None],
+                jnp.sum(dopac, axis=1)[:, None],
+                jnp.dot(w, g_out, preferred_element_type=dtype),
+                jnp.zeros((KC, gscratch.shape[1] - 6 - c), dtype),
+            ],
+            axis=1,
         )
-        # beyond-count rows must write zeros (they may overrun into the
-        # next tile's head, which rewrites them, or into overflow/stream
-        # tail rows, which must stay zero)
-        gscratch[:] = jnp.where((i * KC + kidx) < count, gscratch[:], 0.0)
-        dma = pltpu.make_async_copy(
-            gscratch, gpairs_hbm.at[pl.ds(start + i * KC, KC), :], gsem,
-        )
-        dma.start()
-        dma.wait()
+        # beyond-count rows must stay zero
+        slab = jnp.where((i * KC + kidx) < count, slab, 0.0)
+        gscratch[pl.ds(i * KC, KC), :] = slab
 
         cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
         logt_comp = logt_comp + jnp.sum(
@@ -590,8 +619,18 @@ def _bwd_pairs_kernel(
          jnp.zeros((1, p), dtype)),
     )
 
+    gflush = pltpu.make_async_copy(
+        gscratch, gpairs_hbm.at[pl.ds(start, kr), :], gsem,
+    )
 
-def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, interpret):
+    @pl.when(count > 0)
+    def _flush():
+        gflush.start()
+        gflush.wait()
+
+
+def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
+                    interpret):
     a = pair_attrs.shape[-1]  # LANE-padded
     p = ts * ts
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -606,11 +645,11 @@ def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, interpret):
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((KC, a), pair_attrs.dtype),
+        scratch_shapes=[pltpu.VMEM((kr, a), pair_attrs.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
     out, alpha, logt = pl.pallas_call(
-        functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c),
+        functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, p, c), pair_attrs.dtype),
@@ -623,7 +662,7 @@ def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, interpret):
 
 
 def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
-                    tw, ts, interpret):
+                    tw, ts, kr, interpret):
     t = g_out.shape[0]
     a = pair_attrs.shape[-1]  # LANE-padded
     c = g_out.shape[-1]
@@ -640,14 +679,14 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        scratch_shapes=[pltpu.VMEM((KC, a), pair_attrs.dtype),
-                        pltpu.VMEM((KC, a), pair_attrs.dtype),
+        scratch_shapes=[pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.VMEM((kr, a), pair_attrs.dtype),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
     )
     zeros = jnp.zeros(pair_attrs.shape, pair_attrs.dtype)
     (gpairs,) = pl.pallas_call(
-        functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c),
+        functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(pair_attrs.shape, pair_attrs.dtype)],
         # the zeros input (flattened input index 7, after the 2 scalar-
@@ -660,12 +699,12 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
     return gpairs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _composite_pairs(starts_f, counts_f, pair_gidx, xys, conics, opacities,
-                     colors, bg, tw, ts, t):
+                     colors, bg, tw, ts, t, kr):
     (out, alpha), _ = _composite_pairs_fwd(
         starts_f, counts_f, pair_gidx, xys, conics, opacities, colors, bg,
-        tw, ts, t,
+        tw, ts, t, kr,
     )
     return out, alpha
 
@@ -678,10 +717,10 @@ attribute rows are padded to 128. Row gathers cost per ROW on this TPU
 the gather and only costs HBM footprint."""
 
 
-def _gather_pairs(pair_gidx, xys, conics, opacities, colors):
+def _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr):
     """ONE row gather of the depth-sorted pair attribute stream, padded by
-    KC rows (so the last DMA window of any tile stays in bounds) and to
-    LANE columns (DMA alignment)."""
+    kr rows (so the whole-segment staging DMA of any tile stays in
+    bounds) and to LANE columns (DMA alignment)."""
     attrs = jnp.concatenate(
         [xys, conics, opacities[:, None], colors], axis=1
     )
@@ -689,30 +728,30 @@ def _gather_pairs(pair_gidx, xys, conics, opacities, colors):
     if a > LANE:
         raise ValueError(f"attribute width {a} exceeds the {LANE}-lane row")
     attrs = jnp.pad(attrs, ((0, 0), (0, LANE - a)))
-    gpad = jnp.pad(pair_gidx, (0, KC))
+    gpad = jnp.pad(pair_gidx, (0, kr))
     return attrs[gpad]
 
 
 def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
-                         opacities, colors, bg, tw, ts, t):
+                         opacities, colors, bg, tw, ts, t, kr):
     starts = starts_f.astype(jnp.int32)
     counts = counts_f.astype(jnp.int32)
-    pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors)
+    pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr)
     out, alpha, logt = _call_fwd_pairs(
         starts, counts, pair_attrs, bg[None, :], tw, ts, t,
-        colors.shape[-1], interpret=not _on_tpu(),
+        colors.shape[-1], kr, interpret=not _on_tpu(),
     )
     res = (starts_f, counts_f, pair_gidx, pair_attrs, bg, logt,
            xys.shape[0])
     return (out, alpha), res
 
 
-def _composite_pairs_bwd(tw, ts, t, res, g):
+def _composite_pairs_bwd(tw, ts, t, kr, res, g):
     starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, n = res
     g_out, g_alpha = g
     gpairs = _call_bwd_pairs(
         starts_f.astype(jnp.int32), counts_f.astype(jnp.int32), pair_attrs,
-        bg, g_out, g_alpha, logt, tw, ts, interpret=not _on_tpu(),
+        bg, g_out, g_alpha, logt, tw, ts, kr, interpret=not _on_tpu(),
     )
     a = 6 + g_out.shape[-1]
     b = pair_gidx.shape[0]
@@ -744,10 +783,11 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
     Returns (out (T, P, C), alpha (T, P))."""
     b = pair_gidx.shape[0]
     t = seg_starts.shape[0]
+    kr = -(-k_cap // KC) * KC  # staging-window rows (K rounded up to KC)
     starts = jnp.minimum(seg_starts, b)
     counts = jnp.minimum(jnp.minimum(tile_count, k_cap),
                          jnp.maximum(b - starts, 0))
     return _composite_pairs(
         starts.astype(jnp.float32), counts.astype(jnp.float32), pair_gidx,
-        xys, conics, opacities, colors, bg, tw, ts, t,
+        xys, conics, opacities, colors, bg, tw, ts, t, kr,
     )

@@ -21,6 +21,13 @@ import jax
 if os.environ.get("GGT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GGT_PLATFORM"])
 
+try:  # warm repeat probes (see bench.py)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GGT_COMPILE_CACHE", "/tmp/ggt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 N_GAUSS = int(os.environ.get("GGT_PROBE_N", "200000"))
@@ -171,7 +178,7 @@ def main():
               f"pair_overflow={int(bins.pair_overflow)})", flush=True)
 
         g_fn = jax.jit(lambda gi: rasterize_pallas._gather_pairs(
-            gi, proj.xys, proj.conics, opac, colors))
+            gi, proj.xys, proj.conics, opac, colors, 2048))
         dt = timeit(g_fn, bins.pair_gidx)
         print(f"v3 pair gather ({bins.pair_gidx.shape[0]/1e6:.2f}M x 128): "
               f"{dt*1e3:.1f} ms", flush=True)
@@ -194,6 +201,38 @@ def main():
             print(f"v3 fwd+bwd pair_budget={pb or 'K'}: {dt*1e3:.1f} ms "
                   f"(B={bins_b.pair_gidx.shape[0]}, "
                   f"pair_overflow={int(bins_b.pair_overflow)})", flush=True)
+
+    if "full" in stages:
+        # Full-train-step overhead decomposition: what the bench pays on
+        # top of render fwd+bwd (losses, projection, adam, refinement
+        # stats). Stage numbers over-count dispatch overheads the fused
+        # step pays once.
+        import bench as benchmod
+
+        step, state = benchmod.build_train_step()
+        dt = benchmod._median_time(step, state, donated=True)
+        print(f"full train step: {dt*1e3:.1f} ms "
+              f"({W*H/dt/1e6:.2f} Mpx/s)", flush=True)
+
+        from gaussiangrasper_tpu.models import losses as L
+
+        k0 = jax.random.PRNGKey(7)
+        im0 = jax.random.uniform(k0, (H, W, 3))
+        im1 = jax.random.uniform(jax.random.PRNGKey(8), (H, W, 3))
+        f_ssim = jax.jit(jax.grad(lambda a: 1.0 - L.ssim(a, im1)))
+        dt = timeit(f_ssim, im0)
+        print(f"ssim fwd+bwd 800x800 (HIGHEST convs): {dt*1e3:.1f} ms",
+              flush=True)
+
+        def proj_loss(m, s, q):
+            pr = project_gaussians(m, s, q, vm, cam.fx, cam.fy, cam.cx,
+                                   cam.cy, W, H, mask=alive)
+            return (jnp.sum(pr.xys) + jnp.sum(pr.conics) + jnp.sum(pr.depths)
+                    + jnp.sum(pr.cov2d))
+
+        f_proj = jax.jit(jax.grad(proj_loss, argnums=(0, 1, 2)))
+        dt = timeit(f_proj, field.means, jnp.exp(field.log_scales), field.quats)
+        print(f"projection fwd+bwd: {dt*1e3:.1f} ms", flush=True)
 
     if "sortkey" in stages:
         # two-key (i32 tile, f32 depth) vs packed single-key i64 sort.

@@ -169,7 +169,7 @@ def test_pair_stream_budget_and_overflow():
 
     # Budget broken (tiny K on a dense scene): the report fires.
     tiny = RasterizeConfig(max_gaussians_per_tile=2, tile_chunk=8,
-                           backend="pallas")
+                           backend="pallas", pair_budget_per_tile=2)
     bins2 = bin_gaussians(proj, W, H, tiny, opacities=scene["opacities"],
                           build_table=False, keep_pairs=True)
     assert int(bins2.pair_overflow) > 0
