@@ -54,7 +54,9 @@ def _gaussian_splatting(args) -> None:
         from gaussiangrasper_tpu.parallel.host_loop import train_sharded
 
         dp, gauss = (int(x) for x in mesh.split(","))
-        train_sharded(trainer, dp=dp, gauss=gauss)
+        ts_arg = getattr(args, "tile_shard", "auto")
+        tile_shard = None if ts_arg == "auto" else (ts_arg == "on")
+        train_sharded(trainer, dp=dp, gauss=gauss, tile_shard=tile_shard)
         return
     trainer.train()
 

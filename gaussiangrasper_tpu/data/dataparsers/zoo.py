@@ -2,11 +2,11 @@
 
 Role of the reference's nerfstudio/data/dataparsers/ directory and its CLI
 registry (dataparser_configs.py:40-55). Each parser reads a public dataset
-layout into the shared `DataparserOutputs` contract (base.py). Parsers for
-datasets whose readers need SDKs absent from this image (nuScenes devkit,
-dycheck conventions, sitcoms3d bundles, NeRF-OSR environment maps) are
-registered as install-hint stubs, mirroring the reference's
-external-method pattern.
+layout into the shared `DataparserOutputs` contract (base.py). 14 of the
+15 are real parsers (including dycheck, sitcoms3d, and nerfosr, classes
+below); only nuScenes — whose reader requires the nuscenes-devkit SDK
+absent from this image — is registered as an install-hint stub, mirroring
+the reference's external-method pattern.
 
 Formats implemented from the reference parsers (file:line cited per
 class); everything is host-side numpy.

@@ -104,6 +104,7 @@ def train_step(
         "gaussian_count": state.num_alive,
         "overflow": aux["overflow"],
         "dropped_tiles": aux["dropped_tiles"],
+        "pair_overflow": aux["pair_overflow"],
         **aux["loss_dict"],
         # per-group gradient norms (the reference's log_gradients panel,
         # trainer.py:483-492) — cheap reduces, always on

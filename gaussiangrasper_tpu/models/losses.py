@@ -33,24 +33,38 @@ def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> jax.Array:
     return g / g.sum()
 
 
+def _band_matrix(n: int, kernel: jax.Array) -> jax.Array:
+    """(n, n-k+1) banded matrix B with B[i, o] = kernel[i - o]: x @ B is a
+    valid-padding 1-D correlation along that axis."""
+    k = kernel.shape[0]
+    out = n - k + 1
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, out), 0)
+    o = jax.lax.broadcasted_iota(jnp.int32, (n, out), 1)
+    d = i - o
+    return jnp.where((d >= 0) & (d < k), kernel[jnp.clip(d, 0, k - 1)], 0.0)
+
+
 def _blur_valid(img: jax.Array, kernel: jax.Array) -> jax.Array:
     """Separable gaussian blur with valid padding. img: (H, W, C).
 
-    The convs are pinned to HIGHEST precision: SSIM estimates variances as
-    blur(img^2) - mu^2, a catastrophic cancellation under the TPU's
-    default bf16 conv passes (sigma^2 ~ 1e-4 vs bf16 error ~ 1e-3 on
-    mu^2 ~ 0.25) — measured as a monotone PSNR DECLINE at the 800x800
-    bench point that vanishes at f32 (docs/ROUND_NOTES.md round 3). The
-    11-tap blurs are ~0.5 GFLOP at 800x800, so 6-pass precision is free."""
-    k = kernel.shape[0]
-    # along H
-    x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
-    kh = kernel.reshape(1, 1, k, 1)
-    kw = kernel.reshape(1, 1, 1, k)
+    TPU-first formulation: each 1-D pass is a banded MATMUL (Bh.T @ img @
+    Bw) instead of a C=1 depthwise conv — an 11-tap conv with one channel
+    starves the MXU (measured ~24 ms fwd+bwd at 800x800 inside the train
+    step, r4 probe) while the equivalent (H, H-10) matmul is a ~3 GFLOP
+    MXU-shaped product. The matmuls stay pinned to HIGHEST precision:
+    SSIM estimates variances as blur(img^2) - mu^2, a catastrophic
+    cancellation under the TPU's default bf16 passes (sigma^2 ~ 1e-4 vs
+    bf16 error ~ 1e-3 on mu^2 ~ 0.25) — measured as a monotone PSNR
+    DECLINE at the 800x800 bench point that vanishes at f32
+    (docs/ROUND_NOTES.md round 3)."""
+    h, w = img.shape[0], img.shape[1]
+    bh = _band_matrix(h, kernel)
+    bw = _band_matrix(w, kernel)
     hp = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", precision=hp)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", precision=hp)
-    return jnp.moveaxis(x[:, 0], 0, -1)  # (H', W', C)
+    x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+    x = jnp.einsum("chw,hm->cmw", x, bh, precision=hp)
+    x = jnp.einsum("cmw,wn->cmn", x, bw, precision=hp)
+    return jnp.moveaxis(x, 0, -1)  # (H', W', C)
 
 
 def ssim(

@@ -268,14 +268,31 @@ def train_loss(
         "scale_reg": scale_r,
     }
     total = sum(loss_dict.values())
+    bins = outs["bins"]
+    # pair_overflow: pairs the static stream budget B clipped (pair-stream
+    # backend only; None on the table/XLA paths, and absent on ShardedBins
+    # where the band budget's clips surface as merge_overflow instead).
+    # Emitting 0 in those cases keeps the metric always present so a
+    # too-small pair_budget_per_tile is never silent in train metrics.
+    pair_ovf = getattr(bins, "pair_overflow", None)
+    if pair_ovf is None:
+        pair_ovf = jnp.zeros((), jnp.int32)
     aux = {
         "loss_dict": loss_dict,
         "psnr": losses.psnr(rgb, gt_img, valid),
         "radii": outs["proj"].radii,
-        "overflow": outs["bins"].overflow,
-        "dropped_tiles": outs["bins"].dropped_tiles,
+        "overflow": bins.overflow,
+        "dropped_tiles": bins.dropped_tiles,
+        "pair_overflow": pair_ovf,
         "alpha": outs["alpha"],
     }
+    # Tile-sharded compositor stats (ShardedBins only): all-gather volume
+    # and budget overflows, so the production writer can surface them
+    # (VERDICT r3 #2 — gathered_rows/overflow must reach train metrics).
+    for k in ("gathered_rows", "gather_overflow", "merge_overflow"):
+        v = getattr(bins, k, None)
+        if v is not None:
+            aux[k] = v
     return total, aux
 
 

@@ -99,10 +99,10 @@ class RasterizeConfig:
         # 'auto' resolves to the Pallas kernels on real TPU and the XLA
         # walk elsewhere (Pallas interpret mode is orders of magnitude
         # slower than the walk on CPU). The round-3 marshaling redesign —
-        # one fused (T,K,A) gather inside the custom_vjp, one fused
-        # scatter-add backward — made the Pallas backend win end-to-end
-        # (158 vs 212 ms render fwd+bwd at the 800x800/200k bench,
-        # scripts_dev/r3_probe.py; round 2 it lost 380 vs 266).
+        # pair-stream kernels with whole-segment VMEM DMA staging — made
+        # the Pallas backend win end-to-end (103.8 vs 164.9 ms render
+        # fwd+bwd at the 800x800/200k bench, docs/ROUND_NOTES.md round-3
+        # table; round 2 it lost 380 vs 266).
         from gaussiangrasper_tpu.ops.rasterize_pallas import _on_tpu
 
         return "pallas" if _on_tpu() else "xla"

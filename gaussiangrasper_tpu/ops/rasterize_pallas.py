@@ -48,11 +48,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
 LOG_EPS = -9.2103403719761836  # log(1e-4), the transmittance cut
 
-KC = 128  # K-chunk walked per loop iteration
+KC = int(_os.environ.get("GGT_KC", "128"))
+"""K-chunk walked per loop iteration. The prefix matmuls cost
+2*KC*pairs*P MACs total (the (KC,KC) triangular matmul per chunk), so
+smaller KC trades prefix FLOPs against per-chunk loop overhead and MXU
+utilization — env-tunable for probing (scripts_dev/r4_probe.py)."""
 
 
 def _on_tpu() -> bool:
@@ -74,6 +80,40 @@ def _tri(dtype):
         jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
         >= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
     ).astype(dtype)
+
+
+PREFIX_IMPL = _os.environ.get("GGT_PREFIX", "matmul")
+"""In-kernel prefix-sum implementation along the KC axis:
+  'matmul' — (KC, KC) triangular-ones matmul on the MXU (default).
+  'shift'  — log-depth Hillis–Steele (7 shifted adds via zero-concat +
+             static slice). ~1 MF/chunk vs the matmul's 33.5 MF — and
+             still MEASURED SLOWER on the v5e (render fwd+bwd 107.8 vs
+             97.0 ms at the 800x800/200k bench, r4 probe 2026-08-21):
+             Mosaic lowers the sublane shifts as 7 dependent full-block
+             copies, while the MXU eats the 128x128 matmul below the
+             walk's VPU/DMA critical path. Kept for A/B.
+Summation order differs between the two (parallel tree vs MXU
+accumulation), so results differ only in ~1 ulp rounding."""
+
+
+def _prefix_incl(v):
+    """Inclusive prefix sum along axis 0 of a (KC, P) block."""
+    s = 1
+    while s < KC:
+        z = jnp.zeros((s,) + v.shape[1:], v.dtype)
+        v = v + jnp.concatenate([z, v[: KC - s]], axis=0)
+        s *= 2
+    return v
+
+
+def _suffix_incl(v):
+    """Inclusive suffix sum along axis 0 of a (KC, P) block."""
+    s = 1
+    while s < KC:
+        z = jnp.zeros((s,) + v.shape[1:], v.dtype)
+        v = v + jnp.concatenate([v[s:], z], axis=0)
+        s *= 2
+    return v
 
 
 def _slab_unpack(a, c: int):
@@ -416,9 +456,11 @@ def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
 # stages its contiguous segment [start_t, start_t + kr) into VMEM with ONE
 # DMA (kr = K rounded to a KC multiple; the stream is padded by kr rows).
 # Whole-segment staging replaced per-slab start/wait DMAs after the slab
-# DMA latency (~2.4 us x K/KC slabs x {1 fwd, 2 bwd} per tile) measured
-# as the dominant kernel cost; one ~1 MB transfer per tile is bandwidth-
-# bound and serves both backward passes. The backward accumulates
+# DMA latency (~2.4 us x K/KC slabs per pass per tile) measured as the
+# dominant kernel cost; one ~1 MB transfer per tile is bandwidth-bound.
+# The backward is ONE reverse walk (round 4; previously a total_blend
+# forward pass + a forward grad pass): prefixes are reconstructed from
+# the saved per-pixel totals minus a running suffix. It accumulates
 # pair-space gradients in a VMEM window and flushes kr rows with ONE DMA
 # at the same offsets (ascending tile order makes window-overrun writes
 # safe: the next tile rewrites its own rows later in the sequential grid;
@@ -432,7 +474,7 @@ def composite_tiles(counts, tile_xy, tile_con, tile_opac, tile_col, bg, tw, ts):
 def _fwd_pairs_kernel(
     starts_ref, counts_ref,  # scalar prefetch (T,), (T,)
     pairs_hbm, bg_ref,
-    out_ref, alpha_ref, logt_ref,
+    out_ref, alpha_ref, logt_ref, ncomp_ref,
     scratch, sem,
     *, tw: int, ts: int, c: int, kr: int,
 ):
@@ -442,7 +484,11 @@ def _fwd_pairs_kernel(
     p = ts * ts
     dtype = out_ref.dtype
     px, py = _pixel_coords(t, tw, ts, dtype)
-    tri = _tri(dtype)
+    if PREFIX_IMPL == "shift":
+        pfx = _prefix_incl
+    else:
+        tri = _tri(dtype)
+        pfx = lambda v: jnp.dot(tri, v, preferred_element_type=dtype)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
     n_chunks = pl.cdiv(count, KC)
 
@@ -462,12 +508,12 @@ def _fwd_pairs_kernel(
         seg.wait()
 
     def body(i, state):
-        accum, cum_all, logt_comp = state
+        accum, cum_all, logt_comp, ncomp = state
         xy, con, opac, col = _slab_unpack(scratch[pl.ds(i * KC, KC), :], c)
         alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
+        cum = pfx(log_t) + cum_all
         composite = cum > LOG_EPS
         t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
@@ -476,25 +522,53 @@ def _fwd_pairs_kernel(
         logt_comp = logt_comp + jnp.sum(
             jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
         )
-        return accum, cum_all, logt_comp
+        ncomp = ncomp + jnp.sum(composite.astype(dtype), axis=0,
+                                keepdims=True)
+        return accum, cum_all, logt_comp, ncomp
 
     init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype),
-            jnp.zeros((1, p), dtype))
-    accum, _, logt = jax.lax.fori_loop(0, n_chunks, body, init)
+            jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype))
+    accum, _, logt, ncomp = jax.lax.fori_loop(0, n_chunks, body, init)
 
     t_final = jnp.exp(logt)
     out_ref[0] = accum + t_final.T * bg_ref[0][None, :]
     alpha_ref[0] = 1.0 - t_final.T
     logt_ref[0] = logt.T
+    # per-pixel CUT INDEX (count of composited entries): the transmittance
+    # cut is a prefix property (cum is monotone non-increasing), so the
+    # composite mask of entry k is exactly k < ncomp — the backward walks
+    # in reverse using only this scalar, no prefix reconstruction needed.
+    ncomp_ref[0] = ncomp.T
+
+
+def _rtri(dtype):
+    """(KC, KC) upper-triangular ones (incl. diagonal): suffix-cumsum-by-
+    matmul for the reverse walk — dot(rtri, v)[k] = sum_{j>=k} v[j]."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(dtype)
 
 
 def _bwd_pairs_kernel(
     starts_ref, counts_ref,
-    pairs_hbm, bg_ref, g_out_ref, g_alpha_ref, logt_ref, gpairs_in,
+    pairs_hbm, bg_ref, g_out_ref, g_alpha_ref, logt_ref, ncomp_ref,
+    gpairs_in,
     gpairs_hbm,
     scratch, gscratch, sem, gsem,
     *, tw: int, ts: int, c: int, kr: int,
 ):
+    """ONE reverse walk (back-to-front), the CUDA backward's structure:
+    the composite mask comes straight from the saved per-pixel cut index
+    (composite[k] == k < ncomp — no prefix reconstruction), and the
+    transmittance prefix is the saved composited total minus a running
+    suffix, so the old pass-1 `total_blend` forward walk AND the cut-test
+    prefix op are gone — 2 walks per tile (1 fwd + 1 bwd) instead of 3,
+    and the walk carries 2 in-chunk prefix ops instead of the forward
+    formulation's 3. Validity of the subtraction: every entry before a
+    composited one is itself composited (the cut is a prefix property),
+    so the composited-entry prefix equals the forward's exactly where
+    w > 0."""
     del gpairs_in  # aliased zero-initialized output; only written below
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -502,7 +576,11 @@ def _bwd_pairs_kernel(
     p = ts * ts
     dtype = g_out_ref.dtype
     px, py = _pixel_coords(t, tw, ts, dtype)
-    tri = _tri(dtype)
+    if PREFIX_IMPL == "shift":
+        sfx = _suffix_incl
+    else:
+        rtri = _rtri(dtype)
+        sfx = lambda v: jnp.dot(rtri, v, preferred_element_type=dtype)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
     n_chunks = pl.cdiv(count, KC)
 
@@ -511,9 +589,9 @@ def _bwd_pairs_kernel(
     bg = bg_ref[0]
     bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)
     tail_pix = (t_final * (bg_dot_g - g_alpha_ref[0])).T
+    ncomp = ncomp_ref[0].T        # (1, P) per-pixel cut index
+    logt_total = logt_ref[0].T    # (1, P) sum of composited log_t
 
-    # ONE staging DMA serves BOTH walk passes (the per-slab start/wait of
-    # the first cut paid the DMA latency ~2x K/KC times per tile).
     seg = pltpu.make_async_copy(
         pairs_hbm.at[pl.ds(start, kr), :], scratch, sem,
     )
@@ -526,33 +604,6 @@ def _bwd_pairs_kernel(
     def fetch(i):
         return _slab_unpack(scratch[pl.ds(i * KC, KC), :], c)
 
-    # Pass 1: total_blend[p] = sum_k w_k <c_k, g_out[p]>.
-    def blend_body(i, state):
-        total, cum_all, logt_comp = state
-        xy, con, opac, col = fetch(i)
-        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
-        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
-        log_t = jnp.log1p(-alpha)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
-        composite = cum > LOG_EPS
-        w = jnp.where(composite,
-                      alpha * jnp.exp(cum - log_t - cum_all + logt_comp), 0.0)
-        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
-        total = total + jnp.sum(w * gc, axis=0, keepdims=True)
-        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
-        logt_comp = logt_comp + jnp.sum(
-            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
-        )
-        return total, cum_all, logt_comp
-
-    total_blend, _, _ = jax.lax.fori_loop(
-        0, n_chunks, blend_body,
-        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
-         jnp.zeros((1, p), dtype)),
-    )
-
-    # Pass 2: forward walk; pair-space grads accumulate in gscratch and
-    # flush with ONE DMA per tile.
     @pl.when(count > 0)
     def _zero():
         # rows past the walked prefix are stale from the previous tile's
@@ -562,22 +613,27 @@ def _bwd_pairs_kernel(
         # stream-tail rows, which must stay zero).
         gscratch[:] = jnp.zeros((kr, gscratch.shape[1]), dtype)
 
-    def grad_body(i, state):
-        cum_all, logt_comp, pref_carry = state
+    def rgrad_body(ii, state):
+        # suffix_* carry sums over every entry in chunks AFTER this one:
+        # composited log_t and w*<c,g> respectively.
+        suffix_comp, suffix_wgc = state
+        i = n_chunks - 1 - ii
         xy, con, opac, col = fetch(i)
         alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
 
         log_t = jnp.log1p(-alpha)
-        cum = jnp.dot(tri, log_t, preferred_element_type=dtype) + cum_all
-        composite = cum > LOG_EPS
-        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
+        # the saved cut index IS the composite mask (prefix property)
+        composite = (i * KC + kidx).astype(dtype) < ncomp
+        lcomp = jnp.where(composite, log_t, 0.0)
+        sc_incl = sfx(lcomp) + suffix_comp
+        # prefix of composited log_t STRICTLY before k = total - sc_incl
+        t_before = jnp.exp(logt_total - sc_incl)
         w = jnp.where(composite, alpha * t_before, 0.0)
 
         gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
         wgc = w * gc
-        prefix = jnp.dot(tri, wgc, preferred_element_type=dtype) + pref_carry
-        suffix = total_blend - prefix
+        suffix = sfx(wgc) - wgc + suffix_wgc  # sum_{j>k} w_j <c_j, g>
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = t_before * gc - (suffix + tail_pix) / one_m
@@ -607,16 +663,13 @@ def _bwd_pairs_kernel(
         slab = jnp.where((i * KC + kidx) < count, slab, 0.0)
         gscratch[pl.ds(i * KC, KC), :] = slab
 
-        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
-        logt_comp = logt_comp + jnp.sum(
-            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
-        )
-        return cum_all, logt_comp, prefix[KC - 1 : KC, :]
+        suffix_comp = suffix_comp + jnp.sum(lcomp, axis=0, keepdims=True)
+        suffix_wgc = suffix_wgc + jnp.sum(wgc, axis=0, keepdims=True)
+        return suffix_comp, suffix_wgc
 
     jax.lax.fori_loop(
-        0, n_chunks, grad_body,
-        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype),
-         jnp.zeros((1, p), dtype)),
+        0, n_chunks, rgrad_body,
+        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
     )
 
     gflush = pltpu.make_async_copy(
@@ -644,25 +697,27 @@ def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
             pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((kr, a), pair_attrs.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
-    out, alpha, logt = pl.pallas_call(
+    out, alpha, logt, ncomp = pl.pallas_call(
         functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, p, c), pair_attrs.dtype),
             jax.ShapeDtypeStruct((t, p, 1), pair_attrs.dtype),
             jax.ShapeDtypeStruct((t, p, 1), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((t, p, 1), pair_attrs.dtype),
         ],
         interpret=interpret,
     )(starts, counts, pair_attrs, bg)
-    return out, alpha[..., 0], logt[..., 0]
+    return out, alpha[..., 0], logt[..., 0], ncomp[..., 0]
 
 
 def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
-                    tw, ts, kr, interpret):
+                    ncomp, tw, ts, kr, interpret):
     t = g_out.shape[0]
     a = pair_attrs.shape[-1]  # LANE-padded
     c = g_out.shape[-1]
@@ -674,6 +729,7 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
             pl.BlockSpec((1, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -689,13 +745,22 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
         functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(pair_attrs.shape, pair_attrs.dtype)],
-        # the zeros input (flattened input index 7, after the 2 scalar-
-        # prefetch args and 5 tensor inputs) IS the gradient buffer:
+        # the zeros input (flattened input index 8, after the 2 scalar-
+        # prefetch args and 6 tensor inputs) IS the gradient buffer:
         # aliasing keeps un-walked rows at zero without a kernel-side sweep
-        input_output_aliases={7: 0},
+        input_output_aliases={8: 0},
+        # REQUIRED sequential grid: each tile's kr-row gradient flush may
+        # overrun into the NEXT tile's segment head, which is only safe
+        # because that tile rewrites its own rows later in an ascending
+        # sequential walk. Pin the grid dimension to 'arbitrary' so a
+        # megacore part (v4/v5p parallel grids) can never race the
+        # overlapping flushes and corrupt gradients.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(starts, counts, pair_attrs, bg[None, :] if bg.ndim == 1 else bg,
-      g_out, g_alpha[..., None], logt[..., None], zeros)
+      g_out, g_alpha[..., None], logt[..., None], ncomp[..., None], zeros)
     return gpairs
 
 
@@ -737,21 +802,22 @@ def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
     starts = starts_f.astype(jnp.int32)
     counts = counts_f.astype(jnp.int32)
     pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr)
-    out, alpha, logt = _call_fwd_pairs(
+    out, alpha, logt, ncomp = _call_fwd_pairs(
         starts, counts, pair_attrs, bg[None, :], tw, ts, t,
         colors.shape[-1], kr, interpret=not _on_tpu(),
     )
-    res = (starts_f, counts_f, pair_gidx, pair_attrs, bg, logt,
+    res = (starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp,
            xys.shape[0])
     return (out, alpha), res
 
 
 def _composite_pairs_bwd(tw, ts, t, kr, res, g):
-    starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, n = res
+    starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp, n = res
     g_out, g_alpha = g
     gpairs = _call_bwd_pairs(
         starts_f.astype(jnp.int32), counts_f.astype(jnp.int32), pair_attrs,
-        bg, g_out, g_alpha, logt, tw, ts, kr, interpret=not _on_tpu(),
+        bg, g_out, g_alpha, logt, ncomp, tw, ts, kr,
+        interpret=not _on_tpu(),
     )
     a = 6 + g_out.shape[-1]
     b = pair_gidx.shape[0]
@@ -784,6 +850,20 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
     b = pair_gidx.shape[0]
     t = seg_starts.shape[0]
     kr = -(-k_cap // KC) * KC  # staging-window rows (K rounded up to KC)
+    # VMEM guard: the backward allocates TWO (kr, 128) f32 scratch windows
+    # (attribute stage + gradient accumulator) = kr * 1 KiB; past ~8k rows
+    # they crowd the ~16 MiB VMEM alongside the per-tile blocks and Mosaic
+    # fails to compile with an opaque scoped-vmem error. Fail fast with
+    # the actionable knob instead (configs that large should lower
+    # max_gaussians_per_tile or use backend="xla").
+    vmem_bytes = 2 * kr * LANE * 4
+    if vmem_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"composite_pair_stream: k_cap={k_cap} needs {vmem_bytes/2**20:.0f}"
+            " MiB of VMEM scratch (2 x kr x 128 f32) and will not fit the"
+            " ~16 MiB budget; lower RasterizeConfig.max_gaussians_per_tile"
+            " (<= 8192) or use the 'xla' backend for huge per-tile caps."
+        )
     starts = jnp.minimum(seg_starts, b)
     counts = jnp.minimum(jnp.minimum(tile_count, k_cap),
                          jnp.maximum(b - starts, 0))

@@ -46,9 +46,19 @@ def train_sharded(
     trainer,
     dp: Optional[int] = None,
     gauss: Optional[int] = None,
+    tile_shard: Optional[bool] = None,
 ):
     """Run trainer's schedule with a ("dp","gauss") mesh. `trainer` is an
-    engine.trainer.Trainer whose setup() has run."""
+    engine.trainer.Trainer whose setup() has run.
+
+    tile_shard: distribute each camera's compositing over the "gauss" axis
+    (parallel/tile_shard.py) instead of the full-capacity gather. None =
+    auto: on whenever the gauss axis is >1 (the full-capacity step never
+    wins there — it gathers dead slots too). The all-gather budget is
+    derived from the live alive count and RE-derived after every
+    refinement; the jitted step is rebuilt only when the rounded budget
+    actually moves (derive_gather_budget's 128-row quantum + margin make
+    that rare)."""
     cfg = trainer.config
     mcfg = cfg.model
     state = trainer.state if trainer.state is not None else trainer.setup()
@@ -56,9 +66,26 @@ def train_sharded(
     mesh = make_mesh(dp=dp, gauss=gauss)
     dp_size = mesh.shape["dp"]
     local_dp = max(dp_size // jax.process_count(), 1)
+    if tile_shard is None:
+        tile_shard = mesh.shape["gauss"] > 1
 
     state = shard_train_state(state, mesh)
-    step_fn = make_sharded_train_step(mesh, mcfg, cap)
+    gather_budget = None
+
+    def build_step(alive_now):
+        nonlocal gather_budget
+        if not tile_shard:
+            return make_sharded_train_step(mesh, mcfg, cap)
+        from gaussiangrasper_tpu.parallel.tile_shard import derive_gather_budget
+
+        gather_budget = derive_gather_budget(
+            np.asarray(alive_now), mesh.shape["gauss"]
+        )
+        return make_sharded_train_step(
+            mesh, mcfg, cap, tile_shard=True, gather_budget=gather_budget
+        )
+
+    step_fn = build_step(state.alive)
     num_train = len(trainer.dm)
 
     start = int(state.step)
@@ -83,11 +110,29 @@ def train_sharded(
         if (step + 1) % mcfg.refine_every == 0:
             state = refine_step(state, mcfg, cams[0].width, cams[0].height,
                                 num_train)
+            if tile_shard:
+                # refinement changed the alive count: re-derive the gather
+                # budget; only rebuild (re-jit) when the rounded budget
+                # moved, so recompiles happen at capacity-growth scale,
+                # not every refine (derive_gather_budget docstring).
+                from gaussiangrasper_tpu.parallel.tile_shard import (
+                    derive_gather_budget,
+                )
+
+                new_budget = derive_gather_budget(
+                    np.asarray(state.alive), mesh.shape["gauss"]
+                )
+                if new_budget != gather_budget:
+                    step_fn = build_step(state.alive)
 
         if trainer.writer is not None and jax.process_index() == 0:
+            keys = ["loss", "psnr", "gaussian_count", "overflow",
+                    "pair_overflow"]
+            keys += [k for k in ("gathered_rows", "gather_overflow",
+                                 "merge_overflow") if k in metrics]
             trainer.writer.step(
                 step,
-                {k: metrics[k] for k in ("loss", "psnr", "gaussian_count")},
+                {k: metrics[k] for k in keys if k in metrics},
                 pixels=dp_size * cams[0].width * cams[0].height,
             )
         if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:

@@ -214,6 +214,14 @@ def composite_tile_sharded(
 
         if config.resolved_backend() == "pallas":
             tile_gidx = None
+            # pair_overflow is structurally zero here: the merged band
+            # stream has static size d*bpb and every valid segment lies
+            # inside it (starts/counts come from searchsorted over the
+            # same stream), so composite_pair_stream's B clamp never
+            # clips. The band path's only pair clamp is the per-source
+            # extraction budget bpb, whose drops are counted in
+            # merge_overflow (never this field) — config.
+            # pair_budget_per_tile does not apply to band streams.
             pair_fields = dict(pair_gidx=m_g, pair_starts=starts_b,
                                pair_overflow=jnp.zeros((), jnp.int32))
         else:

@@ -146,7 +146,14 @@ def make_sharded_train_step(mesh: Mesh, cfg: GaussianSplatConfig, capacity: int,
             "psnr": jnp.mean(auxs["psnr"]),
             "gaussian_count": jnp.sum(state.alive),
             "overflow": jnp.max(auxs["overflow"]),
+            "pair_overflow": jnp.max(auxs["pair_overflow"]),
             **{k: jnp.mean(v) for k, v in auxs["loss_dict"].items()},
+            # tile-shard gather stats (present only when the compositor is
+            # the tile-sharded one): budget health must be visible in the
+            # production writer, never only in tests
+            **{k: jnp.max(auxs[k]) for k in
+               ("gathered_rows", "gather_overflow", "merge_overflow")
+               if k in auxs},
         }
         new_state = TrainState(
             step=state.step + 1,

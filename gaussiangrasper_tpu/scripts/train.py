@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help="'dp,gauss' device mesh for sharded training "
                         "(e.g. --mesh 2,4 on 8 chips)")
+    p.add_argument("--tile-shard", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="distribute each camera's compositing over the "
+                        "gauss mesh axis (frustum-culled all-gather + "
+                        "per-device tile bands). 'auto' = on when "
+                        "gauss > 1; 'off' keeps the full-capacity-gather "
+                        "step")
     p.add_argument("--output-dir", type=Path, default=Path("outputs"))
     p.add_argument("--experiment-name", type=str, default="gaussian-splatting")
     p.add_argument("--max-iterations", type=int, default=30000)

@@ -210,6 +210,11 @@ class TestTileSharded:
             st = shard_train_state(build()[0], mesh)
             step = make_sharded_train_step(mesh, cfg, 128, **kw)
             st2, metrics = step(st, cams, batches)
+            if name == "tile":
+                # gather stats must reach the production metrics dict
+                # (round-3 verdict weak #2)
+                assert "gathered_rows" in metrics
+                assert int(metrics["gather_overflow"]) == 0
             results[name] = (np.asarray(st2.field.means),
                              float(metrics["loss"]), float(metrics["psnr"]))
         np.testing.assert_allclose(results["tile"][0], results["full"][0],
@@ -275,6 +280,7 @@ def test_sharded_host_loop_cli(tmp_path):
     train.main([
         "--data", str(data), "--output-dir", str(out),
         "--experiment-name", "sharded", "--mesh", "2,4",
+        "--tile-shard", "on",
         "--max-iterations", "4", "--steps-per-save", "4",
         "--feature-dim", "8", "--sh-degree", "1",
         "--warmup-length", "2", "--refine-every", "3",
