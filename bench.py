@@ -12,8 +12,14 @@ estimated 13 Mpx/s for the reference CUDA trainer (~20 it/s at 800x800 on
 its target GPU class).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-full train step, plus a "render_fwd_bwd_px_per_s" secondary field for the
-render-only fwd+bwd path (the round-1 metric, kept for continuity).
+full train step, plus secondary fields: "latency_px_per_s" (per-iter-
+synced median — the round-1..3 measurement), "render_fwd_bwd_px_per_s",
+and the pair-throughput roofline. The headline is SUSTAINED throughput
+(steps dispatched back-to-back, one sync per 10-step batch): a real
+training loop never blocks per step, and per-iter sync exposes the
+~25 ms/iter tunnel dispatch gap that pipelining overlaps (r4 xplane
+profile, docs/ROUND_NOTES.md). A sanity band against the synced median
+guards the known bogus-batch-timing flake.
 """
 
 from __future__ import annotations
@@ -190,13 +196,41 @@ def _count_pairs():
                      jax.nn.sigmoid(field.opacity_logits)))
 
 
+def _pipelined_time(step, state, batch=10, nbatches=3):
+    """Sustained throughput: dispatch `batch` donated steps back-to-back
+    and sync ONCE per batch — how a real training loop runs (the host
+    loop never blocks per step), so dispatch latency (~25 ms/iter through
+    this tunnel, r4 xplane profile) overlaps device compute. Median over
+    `nbatches` batches guards against the tunnel's sporadic bogus batch
+    timings (CLAUDE.md); the caller cross-checks against the per-iter-
+    synced median before trusting it."""
+    state, _ = step(state)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    times = []
+    for _ in range(nbatches):
+        t0 = time.perf_counter()
+        for _ in range(batch):
+            state, _ = step(state)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+        times.append((time.perf_counter() - t0) / batch)
+    times.sort()
+    return times[nbatches // 2], state
+
+
 def _measure():
     step, state = build_train_step()
-    dt_full = _median_time(step, state, donated=True)
+    dt_sync = _median_time(step, state, donated=True)
+    # rebuild (the synced loop consumed the donated state)
+    step, state = build_train_step()
+    dt_pipe, _ = _pipelined_time(step, state)
+    # Sanity: pipelined must sit between ~the device time and the synced
+    # latency; a bogus (near-zero) batch timing falls back to the synced
+    # number so the headline is never inflated by a flake.
+    dt_full = dt_pipe if 0.3 * dt_sync < dt_pipe <= dt_sync * 1.2 else dt_sync
 
     fwd_bwd, field = build_render_fwd_bwd()
     dt_render = _median_time(fwd_bwd, field)
-    return dt_full, dt_render
+    return dt_full, dt_sync, dt_render
 
 
 def main():
@@ -212,7 +246,7 @@ def main():
 
     def run():
         try:
-            result["dt"], result["dt_render"] = _measure()
+            result["dt"], result["dt_sync"], result["dt_render"] = _measure()
             result["pairs"] = _count_pairs()
         except Exception as e:  # surface compile/runtime errors as a line
             result["error"] = f"{type(e).__name__}: {e}"
@@ -242,6 +276,10 @@ def main():
                     "value": round(px_per_s, 1),
                     "unit": "pixels/s",
                     "vs_baseline": round(px_per_s / REFERENCE_PX_PER_S, 4),
+                    # sustained (pipelined) vs per-iter-synced: the value
+                    # above is sustained throughput (how training actually
+                    # runs); this is the per-step latency for comparison
+                    "latency_px_per_s": round(px / result["dt_sync"], 1),
                     "render_fwd_bwd_px_per_s": round(px / result["dt_render"], 1),
                     **extras,
                 }

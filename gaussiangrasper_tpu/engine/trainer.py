@@ -193,11 +193,15 @@ class Trainer:
 
         viewer_server = None
         if cfg.viewer_port is not None:
-            from gaussiangrasper_tpu.scripts.viewer import serve_in_background
+            from gaussiangrasper_tpu.scripts.viewer import (
+                scene_info_from_dm,
+                serve_in_background,
+            )
 
             self.state = state
             viewer_server = serve_in_background(
-                lambda: self.state, mcfg, cfg.viewer_port
+                lambda: self.state, mcfg, cfg.viewer_port,
+                scene_info=scene_info_from_dm(self.dm),
             )
 
         start = int(state.step)

@@ -74,21 +74,24 @@ def derive_gather_budget(alive, d: int, *, margin: float = 1.25,
                          quantum: int = 128) -> int:
     """Static per-device gather budget from a CONCRETE alive mask.
 
-    Survivors per device are bounded by the shard's alive count; capacity
-    shards are balanced in expectation, so ceil(alive_total / d) * margin
-    (rounded up to `quantum` rows for lane alignment) skips dead capacity
-    slots while leaving headroom for shard imbalance. Must run OUTSIDE
-    jit (shapes are static); call sites re-derive after refinement grows
-    the field — the budget only changes when the rounded value moves, so
-    recompiles are rare. Overflow (imbalance beyond the margin) drops the
-    tail of a shard's survivors and is reported in bins.gather_overflow,
-    the same cap-and-report contract as the binning caps."""
+    Layout-aware (round 4): capacity shards are CONTIGUOUS, and a freshly
+    seeded field packs its alive slots into a capacity PREFIX — the old
+    balanced-in-expectation ceil(total/d) budget silently overflowed
+    shard 0 of any fresh field. The budget is therefore the max alive
+    count over the d contiguous shards, times `margin` (headroom for
+    drift until the next re-derivation), rounded up to `quantum` rows for
+    lane alignment. Must run OUTSIDE jit (shapes are static); call sites
+    re-derive after refinement changes the alive mask — the budget only
+    changes when the rounded value moves, so recompiles are rare.
+    Overflow (drift beyond the margin) drops the tail of a shard's
+    survivors and is reported in bins.gather_overflow, the same
+    cap-and-report contract as the binning caps."""
     import numpy as np
 
-    total = int(np.asarray(alive).sum())
-    per_dev = -(-total // max(d, 1))
-    budget = -(-int(per_dev * margin) // quantum) * quantum
-    cap_per_dev = alive.shape[0] // max(d, 1)
+    mask = np.asarray(alive)
+    cap_per_dev = mask.shape[0] // max(d, 1)
+    worst = int(mask[: cap_per_dev * d].reshape(d, cap_per_dev).sum(1).max())
+    budget = -(-int(worst * margin) // quantum) * quantum
     return max(quantum, min(budget, cap_per_dev))
 
 

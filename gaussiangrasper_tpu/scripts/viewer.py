@@ -56,8 +56,10 @@ frames <input id="nframes" value="30">
 <button id="renderpath">render path</button> <span id="job"></span><br>
 <a href="/export.ply" download style="color:#8cf">export .ply</a> &middot;
 <a href="/export/pointcloud.ply" download style="color:#8cf">point cloud</a><br>
+<label><input type="checkbox" id="showrig" checked style="width:auto"> camera rig / seed cloud</label><br>
 drag: orbit &middot; shift-drag: pan &middot; wheel: zoom</div>
 <img id="view">
+<canvas id="rig" style="position:fixed;left:0;top:0;pointer-events:none"></canvas>
 <script>
 let az=0, el=0.5, dist=3.0, cx=0, cy=0, cz=0, busy=false, t0=0;
 const img=document.getElementById('view'), fps=document.getElementById('fps');
@@ -108,6 +110,64 @@ document.getElementById('renderpath').onclick=async()=>{
      res:parseInt(document.getElementById('res').value)})});
   const j=await r.json();
   document.getElementById('job').textContent=j.n+' frames -> '+j.dir;};
+// init_scene overlay (ref viewer_beta/viewer.py:318-366): training-camera
+// frustums + the seed point cloud, projected with the same pinhole math
+// the server renders with (f = 0.7 * view width).
+let scene=null;
+fetch('/scene').then(r=>r.json()).then(j=>{scene=j; drawRig();}).catch(()=>{});
+const rigc=document.getElementById('rig');
+function drawRig(){
+  const W=window.innerWidth, H=window.innerHeight;
+  rigc.width=W; rigc.height=H;
+  const ctx=rigc.getContext('2d');
+  ctx.clearRect(0,0,W,H);
+  if(!scene||!document.getElementById('showrig').checked) return;
+  const p=pose(), f=0.7*W;
+  const sub=(a,b)=>[a[0]-b[0],a[1]-b[1],a[2]-b[2]];
+  const crs=(a,b)=>[a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]];
+  const nrm=a=>{const n=Math.hypot(...a);return [a[0]/n,a[1]/n,a[2]/n];};
+  const dot=(a,b)=>a[0]*b[0]+a[1]*b[1]+a[2]*b[2];
+  const fwd=nrm(sub(p.center,p.eye)), right=nrm(crs(fwd,p.up)),
+        tu=crs(right,fwd);
+  function proj(q){
+    const d=sub(q,p.eye), z=dot(d,fwd);
+    if(z<0.05) return null;
+    return [W/2+f*dot(d,right)/z, H/2-f*dot(d,tu)/z];
+  }
+  if(scene.points){
+    for(let i=0;i<scene.points.length;i++){
+      const s=proj(scene.points[i]);
+      if(!s) continue;
+      const c=scene.rgb?scene.rgb[i]:[200,200,200];
+      ctx.fillStyle=`rgba(${c[0]},${c[1]},${c[2]},0.7)`;
+      ctx.fillRect(s[0],s[1],2,2);
+    }
+  }
+  ctx.strokeStyle='rgba(120,200,255,0.8)'; ctx.lineWidth=1;
+  for(const cam of scene.cameras||[]){
+    const m=cam.c2w, o=[m[0][3],m[1][3],m[2][3]], d=0.25;
+    const ax=i=>[m[0][i],m[1][i],m[2][i]];
+    const r=ax(0), u=ax(1), b=ax(2);  // OpenGL: -z forward
+    const hw=d*cam.w/(2*cam.fx), hh=d*cam.h/(2*cam.fx);
+    // corners = o + sx*hw*right + sy*hh*up - d*back
+    const cs=[[1,1],[1,-1],[-1,-1],[-1,1]].map(([sx,sy])=>[
+      o[0]+sx*hw*r[0]+sy*hh*u[0]-d*b[0],
+      o[1]+sx*hw*r[1]+sy*hh*u[1]-d*b[1],
+      o[2]+sx*hw*r[2]+sy*hh*u[2]-d*b[2]]);
+    const so=proj(o), sc=cs.map(proj);
+    if(!so||sc.some(s=>!s)) continue;
+    ctx.beginPath();
+    for(let i=0;i<4;i++){
+      ctx.moveTo(so[0],so[1]); ctx.lineTo(sc[i][0],sc[i][1]);
+      ctx.moveTo(sc[i][0],sc[i][1]);
+      ctx.lineTo(sc[(i+1)%4][0],sc[(i+1)%4][1]);
+    }
+    ctx.stroke();
+  }
+}
+document.getElementById('showrig').addEventListener('change',drawRig);
+window.addEventListener('mousemove',()=>{if(drag) drawRig();});
+window.addEventListener('wheel',drawRig);
 refresh(); setInterval(()=>{if(!busy) refresh();}, 2000);
 </script></body></html>"""
 
@@ -157,9 +217,37 @@ class RenderThrottle:
             self._next_allowed = now + self.delay_for(render_duration)
 
 
+def scene_info_from_dm(dm, max_points: int = 4000) -> dict:
+    """init_scene payload (ref viewer_beta/viewer.py:318-366): the
+    training-camera rig (c2w + intrinsics per view) and a subsampled seed
+    point cloud, drawn as an overlay in the browser's 3D view."""
+    cams = []
+    for i in range(len(dm)):
+        cam = dm.camera(i)
+        cams.append({
+            "c2w": np.round(np.asarray(cam.camera_to_world, np.float64),
+                            5).tolist(),
+            "fx": float(cam.fx), "w": int(cam.width), "h": int(cam.height),
+        })
+    info = {"cameras": cams}
+    seeds = getattr(dm, "seed_points", None)
+    if seeds is not None:
+        xyz, rgb = seeds
+        xyz = np.asarray(xyz)
+        take = np.linspace(0, len(xyz) - 1,
+                           min(len(xyz), max_points)).astype(int)
+        rgb = np.asarray(rgb)[take]
+        if rgb.dtype != np.uint8:
+            rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        info["points"] = np.round(xyz[take], 4).tolist()
+        info["rgb"] = rgb.tolist()
+    return info
+
+
 def make_server(state_provider, model_cfg, port: int, width: int, height: int,
                 throttle: Optional[RenderThrottle] = None,
-                out_dir: Optional[Path] = None):
+                out_dir: Optional[Path] = None,
+                scene_info: Optional[dict] = None):
     """HTTP viewer server over a live state source.
 
     state_provider() -> TrainState; called per frame, so a running trainer
@@ -299,7 +387,11 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/export.ply":
+            if self.path == "/scene":
+                # init_scene payload: camera rig + seed cloud (may be {})
+                self._send(json.dumps(scene_info or {}).encode(),
+                           "application/json")
+            elif self.path == "/export.ply":
                 self._send(export_ply_bytes(), "application/octet-stream")
             elif self.path == "/export/pointcloud.ply":
                 self._send(export_ply_bytes(pointcloud=True),
@@ -339,14 +431,14 @@ def make_server(state_provider, model_cfg, port: int, width: int, height: int,
 
 def serve_in_background(state_provider, model_cfg, port: int,
                         width: int = 320, height: int = 240,
-                        train_util: float = 0.85):
+                        train_util: float = 0.85, scene_info=None):
     """Start the viewer on a daemon thread (used by `ggt-train --viewer-port`).
     The returned server's `.throttle.training` is True, so render requests
     time-share with the train loop at `train_util`."""
     throttle = RenderThrottle(train_util)
     throttle.training = True
     server = make_server(state_provider, model_cfg, port, width, height,
-                         throttle)
+                         throttle, scene_info=scene_info)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     print(f"live viewer on http://localhost:{port}", flush=True)
@@ -364,9 +456,13 @@ def main(argv=None) -> None:
     from gaussiangrasper_tpu.scripts.common import load_run
 
     config, trainer, state = load_run(args.run_dir)
+    try:
+        scene_info = scene_info_from_dm(trainer.dm)
+    except Exception:
+        scene_info = None  # dataset may be absent for a copied run dir
     server = make_server(
         lambda: state, config.model, args.port, args.width, args.height,
-        out_dir=args.run_dir / "renders",
+        out_dir=args.run_dir / "renders", scene_info=scene_info,
     )
     print(f"viewer on http://localhost:{args.port} "
           f"({int(jnp.sum(state.alive))} gaussians)")

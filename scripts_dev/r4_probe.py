@@ -236,16 +236,44 @@ def main():
         dt = timeit(f_proj, field.means, jnp.exp(field.log_scales), field.quats)
         print(f"projection fwd+bwd: {dt*1e3:.1f} ms", flush=True)
 
-        # loss tail without the render: feed a fixed rendered image through
-        # the loss set + adam to see the non-render step cost.
+        # loss tail without the render: grouped adam alone (fresh state —
+        # the earlier donated `state` buffers are consumed by the full-
+        # step runs above).
         from gaussiangrasper_tpu.engine import optimizers as optim
 
-        ms = {"field": state.field, "fea_up": state.fea_up, "pose": None}
+        _, state2 = benchmod.build_train_step()
+        ms = {"field": state2.field, "fea_up": state2.fea_up, "pose": None}
         grads = jax.tree.map(jnp.zeros_like, ms)
         f_opt = jax.jit(lambda g, o: optim.apply_updates_grouped(
             ms, g, o, jnp.asarray(100, jnp.int32)))
-        dt = timeit(f_opt, grads, state.opt)
+        dt = timeit(f_opt, grads, state2.opt)
         print(f"grouped adam update alone: {dt*1e3:.1f} ms", flush=True)
+
+    if "pipe" in stages:
+        # Pipelined throughput: dispatch a whole batch of steps and sync
+        # ONCE — the host dispatch gap (~25 ms/iter through this tunnel,
+        # r4 xplane profile) overlaps device compute, which is what a
+        # real training loop does. Guard against the known bogus-batch-
+        # timing flake with a median over batches and a device-time sanity
+        # floor.
+        import bench as benchmod
+
+        step, state = benchmod.build_train_step()
+        state, _ = step(state)  # compile + warm
+        jax.block_until_ready(state)
+        NB, BATCH = 3, 10
+        times = []
+        for _ in range(NB):
+            t0 = time.perf_counter()
+            for _ in range(BATCH):
+                state, metrics = step(state)
+            jax.block_until_ready(state)
+            times.append((time.perf_counter() - t0) / BATCH)
+        times.sort()
+        dt = times[NB // 2]
+        print(f"full train step PIPELINED: {dt*1e3:.1f} ms/step "
+              f"({W*H/dt/1e6:.2f} Mpx/s) batches={[f'{t*1e3:.1f}' for t in times]}",
+              flush=True)
 
     if "scatter" in stages:
         key = jax.random.PRNGKey(1)

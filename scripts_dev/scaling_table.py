@@ -39,7 +39,91 @@ import jax.numpy as jnp
 N, W, H, C = 40_000, 512, 384, 8
 
 
+def target_point():
+    """Comm-volume model at the BENCH operating point (200k @ 800x800x39,
+    VERDICT r3 #5): one evaluation per gauss extent on the virtual mesh —
+    no wall-clock claims (virtual devices run serially, see module
+    caveat) — recording what DOES transfer to hardware: all-gather volume
+    (attributes + merged pair streams), per-band compositing work, and
+    the derived ICI time vs the per-device compute estimate."""
+    from gaussiangrasper_tpu.core.cameras import view_matrix
+    from gaussiangrasper_tpu.models.gaussian_field import init_random
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+    from gaussiangrasper_tpu.ops.projection import project_gaussians
+    from gaussiangrasper_tpu.parallel import make_mesh, tile_sharded_compositor
+    from gaussiangrasper_tpu.parallel.tile_shard import derive_gather_budget
+
+    n, wh, f = 200_000, 800, 32
+    c = 3 + f + 1 + 3
+    cfg = GaussianSplatConfig(feature_dim=f)
+    key = jax.random.PRNGKey(0)
+    field, alive = init_random(key, n, extent=4.0, feature_dim=f,
+                               init_scale=0.02)
+    field = field._replace(
+        means=field.means * jnp.array([0.5, 0.5, 0.25])
+        + jnp.array([0.0, 0.0, -3.0]))
+    from gaussiangrasper_tpu.core.cameras import Camera
+
+    cam = Camera.create(fx=1000.0, fy=1000.0, cx=wh / 2, cy=wh / 2,
+                        camera_to_world=jnp.eye(4)[:3], width=wh, height=wh)
+    vm = view_matrix(cam.camera_to_world)
+    proj = jax.jit(lambda m, s, q: project_gaussians(
+        m, s, q, vm, cam.fx, cam.fy, cam.cx, cam.cy, wh, wh, mask=alive))(
+        field.means, jnp.exp(field.log_scales), field.quats)
+    opac = jax.nn.sigmoid(field.opacity_logits)
+    colors = jnp.concatenate(
+        [jax.nn.sigmoid(field.sh_coeffs[:, 0]), field.features,
+         proj.depths[:, None], jnp.zeros((n, 3))], axis=-1)
+    bg = jnp.zeros(c)
+
+    # measured single-chip facts (r4 xplane profile, docs/ROUND_NOTES.md):
+    # compositing fwd+bwd kernels ~40 ms at 0.81M pairs on one v5e.
+    KERNEL_MS_PER_MPAIR = 40.0 / 0.81
+    ICI_GBPS = 90.0  # conservative effective all-gather BW per v5e chip
+
+    print(f"\ntarget-point comm model: {n/1e3:.0f}k @ {wh}x{wh}x{c}ch "
+          f"(attrs {11 + c} f32 cols/row, pairs 12 B)")
+    print(f"{'gauss':>6} {'gathered rows':>14} {'attr MB/dev':>12} "
+          f"{'pairs/band':>11} {'stream MB/dev':>14} {'ici ms':>7} "
+          f"{'compute ms':>11} {'comm/compute':>13}")
+    for g in (1, 2, 4, 8):
+        if g > len(jax.devices()):
+            break
+        mesh = make_mesh(gauss=g, devices=jax.devices()[:g])
+        budget = derive_gather_budget(alive, g)
+        compositor = tile_sharded_compositor(mesh, gather_budget=budget)
+        out = jax.jit(lambda: compositor(proj, colors, opac, bg, wh, wh,
+                                         cfg.raster))()
+        jax.block_until_ready(out["image"])
+        bins = out["bins"]
+        rows = int(bins.gathered_rows)
+        attr_mb = rows * (11 + c) * 4 * (g - 1) / max(g, 1) / 1e6
+        # each device's band composites ~pairs/g of the global pair count;
+        # merged streams ship sorted (tile, depth, payload) = 12 B/pair
+        # from every source to every band
+        from gaussiangrasper_tpu.ops.rasterize import bin_gaussians
+
+        gb = jax.jit(lambda: bin_gaussians(proj, wh, wh, cfg.raster,
+                                           opacities=opac,
+                                           build_table=False))()
+        pairs = int(jnp.sum(jnp.minimum(
+            gb.tile_count, cfg.raster.max_gaussians_per_tile)))
+        band_pairs = pairs // max(g, 1)
+        stream_mb = pairs * 12 * (g - 1) / max(g, 1) / 1e6
+        ici_ms = (attr_mb + stream_mb) / 1e3 / ICI_GBPS * 1e3
+        comp_ms = KERNEL_MS_PER_MPAIR * band_pairs / 1e6
+        ratio = ici_ms / max(comp_ms, 1e-9)
+        print(f"{g:>6} {rows:>14} {attr_mb:>12.2f} {band_pairs:>11} "
+              f"{stream_mb:>14.2f} {ici_ms:>7.2f} {comp_ms:>11.1f} "
+              f"{ratio:>13.2f}", flush=True)
+    print("\n(>=90% scaling needs comm/compute < ~0.1 with overlap; "
+          "ICI_GBPS is an estimate — hardware unavailable in this image)")
+
+
 def main():
+    if "--target" in sys.argv:
+        target_point()
+        return
     import tests.test_rasterize as R  # reuse the random-scene builder
     from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
     from gaussiangrasper_tpu.parallel import make_mesh, tile_sharded_compositor

@@ -297,13 +297,23 @@ class TestAutoGatherBudget:
     def test_derivation_rounding_and_clipping(self):
         from gaussiangrasper_tpu.parallel.tile_shard import derive_gather_budget
 
-        alive = jnp.zeros(8192, bool).at[:1000].set(True)
-        b = derive_gather_budget(alive, 8)
-        # ceil(1000/8)*1.25 = 157.5 -> 256 after the 128-row quantum
-        assert b == 256
+        # balanced (interleaved) layout: 1000 alive spread over 8 shards
+        # -> worst shard 125, *1.25 = 157 -> 256 after the 128-row quantum
+        alive = (jnp.arange(8192) % 8) < 1  # ~1024 alive, 128/shard
+        assert derive_gather_budget(alive, 8) == 256
         assert derive_gather_budget(jnp.zeros(8192, bool), 8) == 128  # floor
         # budget never exceeds the shard size
         assert derive_gather_budget(jnp.ones(1024, bool), 8) == 128
+
+    def test_layout_aware_prefix_field(self):
+        """A freshly seeded field packs alive into a capacity PREFIX —
+        the budget must cover the worst CONTIGUOUS shard, not the
+        balanced average (which silently overflowed shard 0, round 4)."""
+        from gaussiangrasper_tpu.parallel.tile_shard import derive_gather_budget
+
+        alive = jnp.zeros(8192, bool).at[:1000].set(True)
+        # shard 0 holds all 1000 -> 1250 -> 1280 -> clipped to 1024/shard
+        assert derive_gather_budget(alive, 8) == 1024
 
     def test_mostly_dead_field_gathers_few_rows(self):
         """90%-dead field, NO explicit budget: the sharded step derives one

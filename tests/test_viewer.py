@@ -172,3 +172,51 @@ class TestRenderExportPanels:
             assert arrays["means"].shape[0] == int(jnp.sum(state.alive))
         finally:
             server.shutdown()
+
+
+class TestInitScene:
+    def test_scene_payload_has_camera_rig_and_seed_cloud(self, tmp_path):
+        """init_scene parity (ref viewer_beta/viewer.py:318-366): GET
+        /scene returns the training-camera frustum rig and the seed
+        point cloud; the page draws them as an overlay."""
+        import json
+        import threading
+        import urllib.request
+
+        from gaussiangrasper_tpu.scripts.viewer import scene_info_from_dm
+
+        class FakeDM:
+            seed_points = (np.linspace(0, 1, 30).reshape(10, 3),
+                           np.full((10, 3), 0.5))
+
+            def __len__(self):
+                return 3
+
+            def camera(self, i):
+                from gaussiangrasper_tpu.core.cameras import Camera
+
+                c2w = jnp.eye(4)[:3].at[0, 3].set(0.1 * i)
+                return Camera.create(fx=60.0, fy=60.0, cx=32.0, cy=24.0,
+                                     camera_to_world=c2w, width=64, height=48)
+
+        info = scene_info_from_dm(FakeDM())
+        assert len(info["cameras"]) == 3
+        assert info["cameras"][1]["c2w"][0][3] == 0.1
+        assert info["cameras"][0]["fx"] == 60.0
+        assert len(info["points"]) == 10
+        assert info["rgb"][0] == [127, 127, 127]
+
+        state, cfg = _scene()
+        server = make_server(lambda: state, cfg, port=0, width=64, height=48,
+                             scene_info=info)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            got = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/scene", timeout=30).read())
+            assert got == info  # full round-trip incl. the camera rig
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+            assert "/scene" in page and "camera rig" in page
+        finally:
+            server.shutdown()
