@@ -2,11 +2,9 @@
 
 Role of the reference's nerfstudio/data/dataparsers/ directory and its CLI
 registry (dataparser_configs.py:40-55). Each parser reads a public dataset
-layout into the shared `DataparserOutputs` contract (base.py). 14 of the
-15 are real parsers (including dycheck, sitcoms3d, and nerfosr, classes
-below); only nuScenes — whose reader requires the nuscenes-devkit SDK
-absent from this image — is registered as an install-hint stub, mirroring
-the reference's external-method pattern.
+layout into the shared `DataparserOutputs` contract (base.py). All 15 are
+real parsers (round 4 closed the last gap: the nuScenes reader consumes
+the dataset's plain-JSON tables directly instead of the devkit SDK).
 
 Formats implemented from the reference parsers (file:line cited per
 class); everything is host-side numpy.
@@ -653,6 +651,127 @@ class NerfosrParser:
         )
 
 
+@dataclass
+class NuScenesParser:
+    """nuScenes scenes WITHOUT the devkit (ref nuscenes_dataparser.py:88-
+    216): the devkit's `nusc.get(table, token)` is a lookup into plain
+    JSON arrays under `<dataroot>/<version>/*.json`, so this reads
+    scene/sample/sample_data/calibrated_sensor/ego_pose directly. Pose
+    math replicates the reference exactly: c2w = ego_pose @ cam_pose
+    (scalar-first quaternions), rotated into the OpenCV frame
+    (transform1, ref :109-115), OpenCV -> nerfstudio axis flips
+    (ref :144-147), then z-up (transform2, ref :117-122); poses centered
+    on the mean translation and scaled by the max |t| (ref :163-167);
+    0.9 train split by equally-spaced snapshot indices (ref :170-186)."""
+
+    data: Path                      # dataroot (contains v1.0-*/ + samples/)
+    split: str = "train"
+    scene: Optional[str] = None     # scene name; None = first scene
+    version: Optional[str] = None   # auto-detects v1.0-mini / v1.0-trainval
+    cameras: tuple = ("FRONT",)
+    train_split_fraction: float = 0.9
+
+    def _tables(self, version: str):
+        root = Path(self.data) / version
+        out = {}
+        for name in ("scene", "sample", "sample_data", "calibrated_sensor",
+                     "ego_pose"):
+            rows = json.loads((root / f"{name}.json").read_text())
+            out[name] = {r["token"]: r for r in rows}
+        return out
+
+    @staticmethod
+    def _pose(rot_wxyz, trans) -> np.ndarray:
+        w, x, y, z = rot_wxyz
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        pose = np.eye(4)
+        pose[:3, :3] = r
+        pose[:3, 3] = trans
+        return pose
+
+    def parse(self) -> DataparserOutputs:
+        data = Path(self.data)
+        version = self.version
+        if version is None:
+            for v in ("v1.0-mini", "v1.0-trainval", "v1.0-test"):
+                if (data / v).exists():
+                    version = v
+                    break
+            else:
+                raise FileNotFoundError(f"no v1.0-* table dir under {data}")
+        t = self._tables(version)
+
+        scenes = list(t["scene"].values())
+        if self.scene is not None:
+            scenes = [s for s in scenes if s["name"] == str(self.scene)]
+            if not scenes:
+                raise KeyError(f"scene {self.scene!r} not in {version}")
+        scene_tokens = {s["token"] for s in scenes[:1]}
+        samples = [s for s in t["sample"].values()
+                   if s["scene_token"] in scene_tokens]
+        samples.sort(key=lambda s: (s["scene_token"], s["timestamp"]))
+
+        transform1 = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                               [1, 0, 0, 0], [0, 0, 0, 1.0]])
+        transform2 = np.array([[0, 0, 1, 0], [0, 1, 0, 0],
+                               [-1, 0, 0, 0], [0, 0, 0, 1.0]])
+        cams = ["CAM_" + c for c in self.cameras]
+        names, intr, poses, whs = [], [], [], []
+        for sample in samples:
+            for cam in cams:
+                sd = t["sample_data"][sample["data"][cam]]
+                cs = t["calibrated_sensor"][sd["calibrated_sensor_token"]]
+                ego = t["ego_pose"][sd["ego_pose_token"]]
+                pose = (self._pose(ego["rotation"], ego["translation"])
+                        @ self._pose(cs["rotation"], cs["translation"]))
+                pose = transform1 @ pose
+                pose[0:3, 1:3] *= -1           # OpenCV cam -> OpenGL cam
+                pose = pose[np.array([1, 0, 2, 3]), :]
+                pose[2, :] *= -1
+                pose = transform2 @ pose       # z-up
+                names.append(data / sd["filename"])
+                intr.append(np.asarray(cs["camera_intrinsic"], np.float64))
+                whs.append((int(sd.get("width", 1600)),
+                            int(sd.get("height", 900))))
+                poses.append(pose)
+        poses = np.stack(poses).astype(np.float64)
+        center = poses[:, :3, 3].mean(0)
+        poses[:, :3, 3] -= center
+        scale = 1.0 / max(np.abs(poses[:, :3, 3]).max(), 1e-8)
+        poses[:, :3, 3] *= scale
+
+        n_snap = len(samples)
+        n_train = math.ceil(n_snap * self.train_split_fraction)
+        i_train = np.linspace(0, n_snap - 1, n_train, dtype=int)
+        i_eval = np.setdiff1d(np.arange(n_snap), i_train)
+        snap = i_train if self.split == "train" else i_eval
+        idx = (snap[None, :] * len(cams)
+               + np.arange(len(cams))[:, None]).ravel()
+
+        parsed = [
+            ParsedCamera(
+                fx=float(intr[i][0, 0]), fy=float(intr[i][1, 1]),
+                cx=float(intr[i][0, 2]), cy=float(intr[i][1, 2]),
+                width=whs[i][0], height=whs[i][1],
+                camera_to_world=poses[i][:3].astype(np.float32),
+            )
+            for i in idx
+        ]
+        transform = np.concatenate(
+            [np.eye(3), -center[:, None]], axis=1
+        ).astype(np.float32)
+        return DataparserOutputs(
+            image_filenames=[names[i] for i in idx],
+            cameras=parsed,
+            dataparser_scale=float(scale),
+            dataparser_transform=transform,
+        )
+
+
 def _stub(name: str, needs: str):
     @dataclass
     class Stub:
@@ -688,7 +807,7 @@ PARSERS: Dict[str, Callable] = {
     # the reference's phototourism parser reads a COLMAP reconstruction
     # (phototourism_dataparser.py) — ours does too
     "phototourism": ColmapDataParser,
-    "nuscenes": _stub("nuscenes", "the nuScenes devkit"),
+    "nuscenes": NuScenesParser,
     "dycheck": DycheckParser,
     "sitcoms3d": Sitcoms3DParser,
     "nerfosr": NerfosrParser,
@@ -717,6 +836,8 @@ def resolve_parser(data: Path, name: str = "auto"):
         return ARKitScenesParser(data)
     if (data / "train.npz").exists():
         return MinimalParser(data)
+    if any((data / v).exists() for v in ("v1.0-mini", "v1.0-trainval")):
+        return NuScenesParser(data)
     if (data / "transforms.json").exists() or list(data.glob("transforms_*.json")):
         return TransformsJsonParser(data)
     return ColmapDataParser(data)

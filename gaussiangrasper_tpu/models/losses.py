@@ -149,6 +149,25 @@ def normal_loss(
 # Feature losses (contrastive + distillation), over fixed-size index sets
 # ---------------------------------------------------------------------------
 
+def contrastive_pairs_loss(
+    fa: jax.Array,            # (G, P, F) features at pair_a pixels
+    fb: jax.Array,            # (G, P, F) features at pair_b pixels
+    pair_valid: jax.Array,    # (G, P) bool
+    group_valid: jax.Array,   # (G,) bool
+) -> jax.Array:
+    """Contrastive loss on PRE-GATHERED pair features (the caller fuses
+    the pixel gathers — see model.train_loss: one gather's backward
+    scatter materializes a full (H*W, F) buffer, so three separate
+    gathers cost three of them)."""
+    an = fa / safe_norm(fa)
+    bn = fb / safe_norm(fb)
+    sim = jnp.sum(an * bn, axis=-1)  # (G, P)
+    pv = pair_valid.astype(sim.dtype)
+    per_group = 1.0 - jnp.sum(sim * pv, axis=-1) / jnp.maximum(pv.sum(-1), 1.0)
+    gv = group_valid.astype(sim.dtype)
+    return jnp.sum(per_group * gv) / jnp.maximum(gv.sum(), 1.0)
+
+
 def contrastive_feature_loss(
     feature_map: jax.Array,   # (H, W, F) rendered latent features
     pair_a: jax.Array,        # (G, P, 2) int pixel coords (row, col) per mask group
@@ -160,13 +179,7 @@ def contrastive_feature_loss(
     per mask id, 1 - mean cos(f1, f2); averaged over mask ids present."""
     fa = feature_map[pair_a[..., 0], pair_a[..., 1]]  # (G, P, F)
     fb = feature_map[pair_b[..., 0], pair_b[..., 1]]
-    an = fa / safe_norm(fa)
-    bn = fb / safe_norm(fb)
-    sim = jnp.sum(an * bn, axis=-1)  # (G, P)
-    pv = pair_valid.astype(sim.dtype)
-    per_group = 1.0 - jnp.sum(sim * pv, axis=-1) / jnp.maximum(pv.sum(-1), 1.0)
-    gv = group_valid.astype(sim.dtype)
-    return jnp.sum(per_group * gv) / jnp.maximum(gv.sum(), 1.0)
+    return contrastive_pairs_loss(fa, fb, pair_valid, group_valid)
 
 
 def distillation_loss(

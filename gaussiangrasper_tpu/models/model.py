@@ -84,10 +84,15 @@ class GaussianSplatConfig:
 
 def smallest_axis_normals(log_scales: jax.Array, quats: jax.Array) -> jax.Array:
     """Per-Gaussian normal = rotation column of the smallest scale axis
-    (ref :605-622 `get_smallest_axis`)."""
+    (ref :605-622 `get_smallest_axis`). Column selection is a one-hot
+    contraction, not a take_along_axis: per-row gathers cost ~12 ns/row
+    on this TPU regardless of width (measured 7 ms/step for the 600k-row
+    take at the bench point, r4 hlo_stats) while the masked reduce over
+    3 columns is pure VPU traffic."""
     R = quat_to_rotmat(quats)  # (N, 3, 3)
     idx = jnp.argmin(log_scales, axis=-1)  # (N,)
-    return jnp.take_along_axis(R, idx[:, None, None].repeat(3, 1), axis=2)[..., 0]
+    onehot = jax.nn.one_hot(idx, 3, dtype=R.dtype)  # (N, 3)
+    return jnp.einsum("nij,nj->ni", R, onehot)
 
 
 def active_sh_degree(step: jax.Array | int, cfg: GaussianSplatConfig):
@@ -243,13 +248,24 @@ def train_loss(
     normal_l = losses.normal_loss(outs["normal"], gt_normal, depth_mask)
 
     # --- SAM contrastive + CLIP distillation (ref :907-918) ---
+    # ONE fused pixel gather for pair_a + pair_b + distillation points:
+    # each gather's backward scatter materializes a full (H*W, F) zero
+    # buffer (~1.7 ms each at the bench point, r4 hlo_stats), so the
+    # three gathers share one.
     fea = outs["feature"]
-    fea_loss = losses.contrastive_feature_loss(
-        fea, batch["pair_a"], batch["pair_b"], batch["pair_valid"],
-        batch["group_valid"],
-    )
     pts = batch["points"]
-    sampled = fea[pts[:, 0], pts[:, 1]]  # (S, F)
+    g, p_, _ = batch["pair_a"].shape
+    idx = jnp.concatenate(
+        [batch["pair_a"].reshape(-1, 2), batch["pair_b"].reshape(-1, 2),
+         pts], axis=0,
+    )
+    feats = fea[idx[:, 0], idx[:, 1]]  # (2*G*P + S, F)
+    fa = feats[: g * p_].reshape(g, p_, -1)
+    fb = feats[g * p_ : 2 * g * p_].reshape(g, p_, -1)
+    sampled = feats[2 * g * p_ :]  # (S, F)
+    fea_loss = losses.contrastive_pairs_loss(
+        fa, fb, batch["pair_valid"], batch["group_valid"]
+    )
     lifted = mlp_apply(state["fea_up"], sampled)
     up_loss = losses.distillation_loss(lifted, batch["gt_clip"], batch["point_valid"])
 

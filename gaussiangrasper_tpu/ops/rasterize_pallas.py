@@ -82,6 +82,16 @@ def _tri(dtype):
     ).astype(dtype)
 
 
+UNROLL = int(_os.environ.get("GGT_UNROLL", "1"))
+"""K-chunks per walk-loop iteration in the pair-stream kernels.
+UNROLL=2 hoists two carry-independent chunk fronts (alpha chain + prefix
+matmul) per iteration so their MXU latencies could overlap — MEASURED
+SLOWER on the v5e (render fwd+bwd 100.7 vs 96.8 ms, r4 probe
+2026-08-21): Mosaic's software pipeliner already overlaps consecutive
+fori_loop iterations, so the manual unroll only adds live-range pressure
+(the first attempt VMEM-OOM'd at 16 MiB scoped) and tail recompute.
+Kept for A/B; results are BIT-identical either way."""
+
 PREFIX_IMPL = _os.environ.get("GGT_PREFIX", "matmul")
 """In-kernel prefix-sum implementation along the KC axis:
   'matmul' — (KC, KC) triangular-ones matmul on the MXU (default).
@@ -507,13 +517,22 @@ def _fwd_pairs_kernel(
         seg.start()
         seg.wait()
 
-    def body(i, state):
-        accum, cum_all, logt_comp, ncomp = state
+    def _front(i):
+        """Carry-independent front half of chunk i: attribute unpack,
+        alpha, log_t and the prefix MATMUL. Hoisting two of these per
+        loop iteration (UNROLL=2) lets their MXU latencies overlap — the
+        walk is latency-bound on one dependent prefix matmul per chunk
+        (r4 xplane: fwd kernel ~14.8 ms at ~6.7k serialized chunks)."""
         xy, con, opac, col = _slab_unpack(scratch[pl.ds(i * KC, KC), :], c)
         alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
-        cum = pfx(log_t) + cum_all
+        return alpha, log_t, pfx(log_t), col
+
+    def _tail(state, front):
+        accum, cum_all, logt_comp, ncomp = state
+        alpha, log_t, pfv, col = front
+        cum = pfv + cum_all
         composite = cum > LOG_EPS
         t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
@@ -528,7 +547,17 @@ def _fwd_pairs_kernel(
 
     init = (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype),
             jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype))
-    accum, _, logt, ncomp = jax.lax.fori_loop(0, n_chunks, body, init)
+    if UNROLL == 2:
+        def body(i, state):
+            f0 = _front(2 * i)
+            f1 = _front(2 * i + 1)
+            return _tail(_tail(state, f0), f1)
+
+        accum, _, logt, ncomp = jax.lax.fori_loop(
+            0, pl.cdiv(count, 2 * KC), body, init)
+    else:
+        accum, _, logt, ncomp = jax.lax.fori_loop(
+            0, n_chunks, lambda i, s: _tail(s, _front(i)), init)
 
     t_final = jnp.exp(logt)
     out_ref[0] = accum + t_final.T * bg_ref[0][None, :]
@@ -613,25 +642,35 @@ def _bwd_pairs_kernel(
         # stream-tail rows, which must stay zero).
         gscratch[:] = jnp.zeros((kr, gscratch.shape[1]), dtype)
 
-    def rgrad_body(ii, state):
-        # suffix_* carry sums over every entry in chunks AFTER this one:
-        # composited log_t and w*<c,g> respectively.
+    def _rfront(i):
+        """Carry-independent front half of reverse-walk chunk i: the two
+        MXU products that don't need the carries — sfx(lcomp) (the
+        composite mask comes from the saved cut index, no carry!) and the
+        gc matmul. Two fronts per iteration (UNROLL=2) overlap their MXU
+        latencies; only sfx(wgc) remains in the dependent tail. The front
+        keeps a deliberately SMALL live set (the (KC, P) alpha chain is
+        recomputed in the tail) — holding two full fronts of
+        dx/dy/sigma/alpha blocks overflowed the 16 MiB scoped VMEM."""
+        xy, con, opac, col = fetch(i)
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        composite = (i * KC + kidx).astype(dtype) < ncomp
+        lcomp = jnp.where(composite, log_t, 0.0)
+        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
+        return i, lcomp, sfx(lcomp), gc
+
+    def _rtail(state, front):
         suffix_comp, suffix_wgc = state
-        i = n_chunks - 1 - ii
+        i, lcomp, sfx_lcomp, gc = front
         xy, con, opac, col = fetch(i)
         alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
-
-        log_t = jnp.log1p(-alpha)
-        # the saved cut index IS the composite mask (prefix property)
         composite = (i * KC + kidx).astype(dtype) < ncomp
-        lcomp = jnp.where(composite, log_t, 0.0)
-        sc_incl = sfx(lcomp) + suffix_comp
+        sc_incl = sfx_lcomp + suffix_comp
         # prefix of composited log_t STRICTLY before k = total - sc_incl
         t_before = jnp.exp(logt_total - sc_incl)
         w = jnp.where(composite, alpha * t_before, 0.0)
-
-        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
         wgc = w * gc
         suffix = sfx(wgc) - wgc + suffix_wgc  # sum_{j>k} w_j <c_j, g>
 
@@ -667,10 +706,20 @@ def _bwd_pairs_kernel(
         suffix_wgc = suffix_wgc + jnp.sum(wgc, axis=0, keepdims=True)
         return suffix_comp, suffix_wgc
 
-    jax.lax.fori_loop(
-        0, n_chunks, rgrad_body,
-        (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype)),
-    )
+    rinit = (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype))
+    if UNROLL == 2:
+        def rgrad_body(ii, state):
+            base = (pl.cdiv(count, 2 * KC) - 1 - ii) * 2
+            f1 = _rfront(base + 1)  # reverse order: high chunk first
+            f0 = _rfront(base)
+            return _rtail(_rtail(state, f1), f0)
+
+        jax.lax.fori_loop(0, pl.cdiv(count, 2 * KC), rgrad_body, rinit)
+    else:
+        jax.lax.fori_loop(
+            0, n_chunks,
+            lambda ii, s: _rtail(s, _rfront(n_chunks - 1 - ii)), rinit,
+        )
 
     gflush = pltpu.make_async_copy(
         gscratch, gpairs_hbm.at[pl.ds(start, kr), :], gsem,
@@ -756,7 +805,11 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
         # megacore part (v4/v5p parallel grids) can never race the
         # overlapping flushes and corrupt gradients.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            # headroom above the conservative 16 MiB scoped default: the
+            # unroll-2 walk holds two chunk fronts live (v5e VMEM is
+            # 128 MiB; the kernel's own scratch is ~2 MiB)
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
     )(starts, counts, pair_attrs, bg[None, :] if bg.ndim == 1 else bg,
@@ -849,7 +902,11 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
     Returns (out (T, P, C), alpha (T, P))."""
     b = pair_gidx.shape[0]
     t = seg_starts.shape[0]
-    kr = -(-k_cap // KC) * KC  # staging-window rows (K rounded up to KC)
+    # staging-window rows: K rounded up to the walk stride (UNROLL chunks
+    # of KC — the unrolled loop reads whole strides, so the window and
+    # stream pad must cover the final partial stride)
+    stride = UNROLL * KC
+    kr = -(-k_cap // stride) * stride
     # VMEM guard: the backward allocates TWO (kr, 128) f32 scratch windows
     # (attribute stage + gradient accumulator) = kr * 1 KiB; past ~8k rows
     # they crowd the ~16 MiB VMEM alongside the per-tile blocks and Mosaic

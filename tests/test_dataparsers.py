@@ -315,3 +315,82 @@ class TestCliFlag:
         _png(tmp_path / "r_0.png", 16, 12)
         t = make_trainer(TrainerConfig(data=tmp_path, dataparser="blender"))
         assert len(t.dm) == 1
+
+
+class TestNuScenes:
+    def _make(self, tmp_path, n_samples=5):
+        """Tiny devkit-free nuScenes layout: JSON tables + jpg files."""
+        root = tmp_path / "nusc"
+        (root / "v1.0-mini").mkdir(parents=True)
+        (root / "samples" / "CAM_FRONT").mkdir(parents=True)
+        scene = {"token": "sc0", "name": "scene-0001"}
+        samples, sds, css, egos = [], [], [], []
+        for i in range(n_samples):
+            fn = f"samples/CAM_FRONT/img_{i}.jpg"
+            _png(root / fn, 16, 12)
+            samples.append({"token": f"s{i}", "scene_token": "sc0",
+                            "timestamp": 1000 + i,
+                            "data": {"CAM_FRONT": f"sd{i}"}})
+            sds.append({"token": f"sd{i}", "filename": fn,
+                        "calibrated_sensor_token": f"cs{i}",
+                        "ego_pose_token": f"ep{i}",
+                        "width": 16, "height": 12})
+            css.append({"token": f"cs{i}",
+                        "rotation": [1.0, 0.0, 0.0, 0.0],
+                        "translation": [1.5, 0.0, 1.6],
+                        "camera_intrinsic": [[12.0, 0, 8.0],
+                                             [0, 12.0, 6.0], [0, 0, 1]]})
+            # ego drives along +x
+            egos.append({"token": f"ep{i}",
+                         "rotation": [1.0, 0.0, 0.0, 0.0],
+                         "translation": [2.0 * i, 0.0, 0.0]})
+        import json as J
+
+        v = root / "v1.0-mini"
+        (v / "scene.json").write_text(J.dumps([scene]))
+        (v / "sample.json").write_text(J.dumps(samples))
+        (v / "sample_data.json").write_text(J.dumps(sds))
+        (v / "calibrated_sensor.json").write_text(J.dumps(css))
+        (v / "ego_pose.json").write_text(J.dumps(egos))
+        return root
+
+    def test_tables_poses_and_split(self, tmp_path):
+        from gaussiangrasper_tpu.data.dataparsers.zoo import (
+            NuScenesParser, resolve_parser,
+        )
+
+        root = self._make(tmp_path)
+        out = NuScenesParser(root).parse()
+        # 0.9 split of 5 snapshots -> ceil(4.5)=5 train, 0 eval
+        assert len(out.cameras) == 5
+        assert out.image_filenames[0].name == "img_0.jpg"
+        cam = out.cameras[0]
+        assert cam.fx == 12.0 and cam.width == 16 and cam.height == 12
+        # poses centered at the mean and scaled into |t| <= 1
+        ts = np.stack([c.camera_to_world[:, 3] for c in out.cameras])
+        np.testing.assert_allclose(ts.mean(0), 0.0, atol=1e-6)
+        assert np.abs(ts).max() == pytest.approx(1.0, abs=1e-6)
+        # rotations stay proper (det +1) through the convention chain
+        for c in out.cameras:
+            assert np.linalg.det(c.camera_to_world[:, :3]) == pytest.approx(
+                1.0, abs=1e-5)
+        # identity ego+cam rotations: the chain maps to a right-handed
+        # OpenGL camera; forward (-z col) must be a unit vector
+        fwd = -out.cameras[0].camera_to_world[:, 2]
+        assert np.linalg.norm(fwd) == pytest.approx(1.0, abs=1e-5)
+        # ego moves along +x world -> scaled camera centers vary along ONE
+        # axis only (z-up world keeps the drive axis horizontal)
+        spread = ts.max(0) - ts.min(0)
+        assert (spread > 1e-3).sum() == 1
+        # layout auto-detect
+        assert isinstance(resolve_parser(root), NuScenesParser)
+
+    def test_scene_and_split_selection(self, tmp_path):
+        from gaussiangrasper_tpu.data.dataparsers.zoo import NuScenesParser
+
+        root = self._make(tmp_path, n_samples=10)
+        tr = NuScenesParser(root, scene="scene-0001").parse()
+        ev = NuScenesParser(root, split="val").parse()
+        assert len(tr.cameras) == 9 and len(ev.cameras) == 1
+        with pytest.raises(KeyError):
+            NuScenesParser(root, scene="scene-9999").parse()
