@@ -36,7 +36,12 @@ class TestRegistry:
         assert expected <= set(PARSERS)
 
     def test_stub_parsers_raise_with_hint(self, tmp_path):
-        with pytest.raises(SystemExit, match="devkit"):
+        # nuscenes became a real parser in round 4; the remaining stub is
+        # phototourism-raw (needs image downloads). Real parsers raise a
+        # plain FileNotFoundError on an empty dir, not the install hint.
+        with pytest.raises(SystemExit, match="image downloads"):
+            PARSERS["phototourism-raw"](tmp_path).parse()
+        with pytest.raises(FileNotFoundError):
             PARSERS["nuscenes"](tmp_path).parse()
 
     def test_unknown_name_rejected(self, tmp_path):
