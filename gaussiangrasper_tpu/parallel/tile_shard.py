@@ -137,8 +137,11 @@ def composite_tile_sharded(
         binning on the gathered set); kept for A/B.
 
     band_pair_budget: per-source cap on in-band pairs during extraction
-    (merge mode). None = 2x the balanced share, rounded to 128. Overflow
-    is reported in bins.merge_overflow — cap-and-report, never silent.
+    (merge mode). None = 1.25x the balanced share, rounded to 128 (the
+    round-4 sweep at bench-like occupancy measured ZERO overflow even at
+    1.0x and shorter walls at smaller budgets, docs/ROUND_NOTES.md; the
+    1.25 margin matches derive_gather_budget's). Overflow is reported in
+    bins.merge_overflow — cap-and-report, never silent.
     """
     n = proj.xys.shape[0]
     d = mesh.shape[axis]
@@ -162,8 +165,9 @@ def composite_tile_sharded(
         config.max_tiles_per_gaussian, T)
     k_cap = min(config.max_gaussians_per_tile, d * v)
     if band_pair_budget is None:
-        # 2x the balanced share of one source's pairs landing in one band
-        band_pair_budget = max(128, -(-(2 * v * mt) // (d * 128)) * 128)
+        # 1.25x the balanced share of one source's pairs landing in one
+        # band (swept round 4 — see docstring)
+        band_pair_budget = max(128, -(-(5 * v * mt) // (4 * d * 128)) * 128)
     bpb = band_pair_budget
 
     def merge_binned_band(buf, band, lo):
