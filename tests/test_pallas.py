@@ -194,3 +194,33 @@ def test_pair_stream_budget_and_overflow():
                           build_table=False, keep_pairs=True)
     assert bins3.pair_gidx.shape[0] < bins.pair_gidx.shape[0]
     assert int(bins3.pair_overflow) > 0
+
+
+def test_unroll2_walk_matches(monkeypatch):
+    """The UNROLL=2 chunk-pipelined walk (kept for A/B, off by default —
+    measured slower on v5e, see rasterize_pallas.UNROLL) must stay
+    BIT-identical to the default walk: same op order in the dependent
+    tail, only the loop structure differs."""
+    from gaussiangrasper_tpu.ops import rasterize_pallas as rp
+
+    n = 300
+    scene = make_scene(jax.random.key(21), n, width=W, height=H)
+    proj = project_scene(scene)
+    bg = jnp.zeros(3)
+    _, pl_cfg = cfgs(n)
+
+    def run():
+        def loss(colors, opac):
+            out = rasterize_projected(proj, colors, opac, bg, W, H, pl_cfg)
+            return jnp.sum(out["image"] ** 2), out["image"]
+
+        (l, img), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            scene["colors"], scene["opacities"])
+        return np.asarray(img), jax.tree.map(np.asarray, g)
+
+    img1, g1 = run()
+    monkeypatch.setattr(rp, "UNROLL", 2)
+    img2, g2 = run()
+    np.testing.assert_array_equal(img1, img2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(a, b)
