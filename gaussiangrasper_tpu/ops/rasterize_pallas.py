@@ -13,13 +13,19 @@ Marshaling contract (round 3 — the round-2 backend lost to the XLA walk
 because it pre-gathered tables OUTSIDE the custom_vjp and back-propagated
 through the gathers, materializing a second (T, K, A) gradient and a
 scatter XLA scheduled poorly):
-  - `composite_binned` is the N-level entry: it takes the binning index
-    lists plus the per-Gaussian arrays, performs ONE fused row gather of
-    a packed (T, K, A) attribute table inside its custom_vjp forward,
-    runs the kernel, and its backward runs the reverse kernel into a
-    fused (T, K, A) gradient table followed by ONE global scatter-add to
-    per-Gaussian gradients. Attribute columns: xy(2) conic(3) opac(1)
-    color(C), A = 6 + C — matching ops/rasterize_xla.py:_pack_attrs.
+  - `composite_pair_stream` is the PRODUCTION entry (the "v3" pair-stream
+    marshaling, see the section comment further down): ONE row gather of
+    the depth-sorted pair attribute stream inside the custom_vjp forward,
+    whole-segment VMEM DMA staging per tile, ONE reverse-walk backward
+    kernel (round 4), and ONE global scatter-add by the sorted pair
+    payload in the backward.
+  - `composite_binned` is the table-path compat entry: it takes (T, K)
+    binning index lists, performs ONE fused row gather of a packed
+    (T, K, A) attribute table inside its custom_vjp forward, and its
+    backward runs a reverse kernel into a fused (T, K, A) gradient table
+    followed by ONE global scatter-add. Attribute columns: xy(2)
+    conic(3) opac(1) color(C), A = 6 + C — matching
+    ops/rasterize_xla.py:_pack_attrs.
 
 Gradient identities (out = sum_k w_k c_k + T_final*bg,
 w_k = alpha_k * prod_{j<k}(1-alpha_j), cut mask folded into alpha):
