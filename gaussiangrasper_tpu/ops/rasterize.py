@@ -495,10 +495,12 @@ def rasterize_projected(
             # tile segment DMA in the kernels, ONE scatter-add by the
             # pair payload in the backward. No (T, K) build anywhere.
             K = min(config.max_gaussians_per_tile, proj.xys.shape[0])
+            MT = (T if config.max_tiles_per_gaussian <= 0
+                  else min(config.max_tiles_per_gaussian, T))
             out, alpha_im = rasterize_pallas.composite_pair_stream(
                 bins.pair_gidx, bins.pair_starts, bins.tile_count,
                 proj.xys, proj.conics, opacities, colors, background,
-                tw, ts, k_cap=K,
+                tw, ts, k_cap=K, mt=MT,
             )
         else:
             # Table path (v2): fused (T, K, A) gather inside the

@@ -823,12 +823,12 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
     return gpairs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _composite_pairs(starts_f, counts_f, pair_gidx, xys, conics, opacities,
-                     colors, bg, tw, ts, t, kr):
+                     colors, bg, tw, ts, t, kr, mt):
     (out, alpha), _ = _composite_pairs_fwd(
         starts_f, counts_f, pair_gidx, xys, conics, opacities, colors, bg,
-        tw, ts, t, kr,
+        tw, ts, t, kr, mt,
     )
     return out, alpha
 
@@ -857,7 +857,7 @@ def _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr):
 
 
 def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
-                         opacities, colors, bg, tw, ts, t, kr):
+                         opacities, colors, bg, tw, ts, t, kr, mt):
     starts = starts_f.astype(jnp.int32)
     counts = counts_f.astype(jnp.int32)
     pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr)
@@ -870,7 +870,41 @@ def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
     return (out, alpha), res
 
 
-def _composite_pairs_bwd(tw, ts, t, kr, res, g):
+SCATTER_IMPL = _os.environ.get("GGT_SCATTER", "add")
+"""Pair-grad -> per-Gaussian reduction:
+  'add'  — ONE fused global scatter-add (default; measured 12.2 ms at
+           the bench point: random-write accumulates pay ~12.7 ns/row).
+  'sort' — sort pair rows by Gaussian, then a static-width gather +
+           masked (N, MT, A) sum. MEASURED 3.4x SLOWER end-to-end on the
+           v5e (render fwd+bwd 333.8 vs 99.1 ms, r4 probe 2026-08-21):
+           the permuted row gather + the two-level (N, MT) gather lower
+           to a far worse access pattern than the single scatter. Kept
+           for A/B; bit-compatible within f32 summation-order rounding."""
+
+
+def _segment_reduce_pairs(pair_gidx, gpairs, n, a, mt):
+    """'sort' reduction (see SCATTER_IMPL). Garbage indices past the
+    valid stream prefix carry ZERO gradient rows (aliased init), and the
+    stable sort orders each Gaussian's segment by stream position, so
+    real pairs (always in the valid prefix) sort before any garbage
+    duplicates — the first mt entries of a segment always cover every
+    real pair."""
+    b = pair_gidx.shape[0]
+    iota = jnp.arange(b, dtype=jnp.int32)
+    gidx_sorted, perm = jax.lax.sort((pair_gidx, iota), num_keys=1,
+                                     is_stable=True)
+    gsorted = gpairs[perm][:, :a]
+    bounds = jnp.searchsorted(
+        gidx_sorted, jnp.arange(n + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = jnp.minimum(bounds[1:] - bounds[:-1], mt)
+    j = jnp.arange(mt, dtype=jnp.int32)
+    pos = jnp.minimum(bounds[:-1, None] + j[None, :], b - 1)
+    valid = j[None, :] < counts[:, None]
+    return jnp.sum(jnp.where(valid[..., None], gsorted[pos], 0.0), axis=1)
+
+
+def _composite_pairs_bwd(tw, ts, t, kr, mt, res, g):
     starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp, n = res
     g_out, g_alpha = g
     gpairs = _call_bwd_pairs(
@@ -880,12 +914,15 @@ def _composite_pairs_bwd(tw, ts, t, kr, res, g):
     )
     a = 6 + g_out.shape[-1]
     b = pair_gidx.shape[0]
-    # ONE fused scatter-add: pair-space grads -> per-Gaussian grads. Rows
-    # past every walked window are exactly zero (aliased init), so garbage
-    # indices in the stream tail contribute nothing. (The LANE pad columns
-    # are dropped before the scatter.)
-    acc = jnp.zeros((n, a), gpairs.dtype).at[pair_gidx].add(
-        gpairs[:b, :a])
+    if SCATTER_IMPL == "sort" and 0 < mt <= 64:
+        acc = _segment_reduce_pairs(pair_gidx, gpairs, n, a, mt)
+    else:
+        # ONE fused scatter-add: pair-space grads -> per-Gaussian grads.
+        # Rows past every walked window are exactly zero (aliased init),
+        # so garbage indices in the stream tail contribute nothing. (The
+        # LANE pad columns are dropped before the scatter.)
+        acc = jnp.zeros((n, a), gpairs.dtype).at[pair_gidx].add(
+            gpairs[:b, :a])
     t_final = jnp.exp(logt)
     gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
     return (jnp.zeros_like(starts_f), jnp.zeros_like(counts_f),
@@ -898,7 +935,8 @@ _composite_pairs.defvjp(_composite_pairs_fwd, _composite_pairs_bwd)
 
 def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
                           opacities, colors, bg, tw: int, ts: int,
-                          k_cap: int) -> Tuple[jax.Array, jax.Array]:
+                          k_cap: int, mt: int = 0
+                          ) -> Tuple[jax.Array, jax.Array]:
     """Differentiable per-tile compositing straight off the sorted pair
     stream (see the v3 section comment). pair_gidx (B,) int32 is the
     depth-sorted pair payload (Gaussian index per pair; garbage past the
@@ -932,5 +970,5 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
                          jnp.maximum(b - starts, 0))
     return _composite_pairs(
         starts.astype(jnp.float32), counts.astype(jnp.float32), pair_gidx,
-        xys, conics, opacities, colors, bg, tw, ts, t, kr,
+        xys, conics, opacities, colors, bg, tw, ts, t, kr, mt,
     )
