@@ -39,6 +39,7 @@ def _gaussian_splatting(args) -> None:
         vis=getattr(args, "vis", ""),
         viewer_port=getattr(args, "viewer_port", None),
         load_dir=args.load_dir,
+        profiler=getattr(args, "profiler", "none"),
         dataparser=getattr(args, "dataparser", "auto"),
         model=model,
     )

@@ -62,6 +62,11 @@ class TrainerConfig:
     viewer_port: Optional[int] = None
     """Serve the live training viewer on this port (ref viewer_beta)."""
     load_dir: Optional[Path] = None
+    profiler: str = "none"
+    """'trace' captures an XLA device trace (xplane, TensorBoard/Perfetto
+    viewable) for steps 12..16 into <run_dir>/profiler_traces — the
+    reference's LoggingConfig.profiler='pytorch' chrome-trace capture at
+    steps 12/17 (ref utils/profiler.py:149-196)."""
     dataparser: str = "auto"
     """Named dataparser from data/dataparsers/zoo.py (the reference's
     15-parser CLI registry, dataparser_configs.py); auto-detects by layout."""
@@ -204,9 +209,17 @@ class Trainer:
                 scene_info=scene_info_from_dm(self.dm),
             )
 
+        tracer = None
+        if cfg.profiler == "trace":
+            from gaussiangrasper_tpu.utils.profiler import TraceCapture
+
+            tracer = TraceCapture(cfg.run_dir / "profiler_traces")
+
         start = int(state.step)
         t0 = time.perf_counter()
         for step in range(start, cfg.max_iterations):
+            if tracer is not None:
+                tracer.maybe_step(step)
             cam_idx, cam, batch = source.next_train()
             d = _downscale_factor(mcfg, step)
             cam_s, batch_s = downscale_batch(batch, cam, d)
@@ -257,6 +270,8 @@ class Trainer:
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == cfg.max_iterations:
                 path = ckpt.save_checkpoint(cfg.ckpt_dir, state)
                 print(f"saved {path}")
+        if tracer is not None:
+            tracer.close()
         if prefetcher is not None:
             prefetcher.close()
         if viewer_server is not None:

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "tensorboard, wandb, comet (missing libraries "
                         "degrade silently)")
     p.add_argument("--load-dir", type=Path, default=None)
+    p.add_argument("--profiler", type=str, default="none",
+                   choices=("none", "trace"),
+                   help="'trace' captures an XLA device trace for steps "
+                        "12..16 into <run_dir>/profiler_traces (the "
+                        "reference's fixed-step profiler capture)")
     p.add_argument("--feature-dim", type=int, default=32)
     p.add_argument("--sh-degree", type=int, default=4)
     p.add_argument("--warmup-length", type=int, default=500)

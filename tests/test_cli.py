@@ -323,3 +323,22 @@ def test_live_training_viewer(dataset_dir, tmp_path):
     finally:
         t.join(timeout=300)
     assert not t.is_alive()
+
+
+def test_profiler_trace_capture(dataset_dir, tmp_path):
+    """--profiler trace captures an xplane for steps 12..16 (the
+    reference's fixed-step profiler capture, ref utils/profiler.py:
+    149-196). jax.profiler works on CPU too, so the artifact is
+    asserted directly."""
+    from gaussiangrasper_tpu.scripts import train
+
+    out = tmp_path / "prof"
+    train.main([
+        "--data", str(dataset_dir), "--output-dir", str(out),
+        "--experiment-name", "prof", "--max-iterations", "18",
+        "--steps-per-save", "18", "--feature-dim", "8", "--sh-degree", "1",
+        "--warmup-length", "2", "--refine-every", "100", "--profiler",
+        "trace",
+    ])
+    traces = list((out / "prof" / "profiler_traces").rglob("*.xplane.pb"))
+    assert traces, "no xplane written by --profiler trace"
