@@ -117,6 +117,47 @@ class TestTabletopE2E:
         assert np.mean(own) > np.mean(cross) + 0.1, (np.mean(own),
                                                      np.mean(cross))
 
+        # --- open-vocabulary query + grasp CLIs (the paper pipeline's
+        # step 3, ref README.md:50: render -> CLIP query -> grasp): the
+        # synthetic per-object "CLIP" embedding of sphere 1 must light up
+        # sphere-1 pixels, and the grasp proposal must land on it ---
+        from gaussiangrasper_tpu.scripts import grasp as grasp_cli
+        from gaussiangrasper_tpu.scripts import query as query_cli
+
+        run_dir = cfg.run_dir
+        emb_path = tmp_path / "q_sphere1.npy"
+        np.save(emb_path, clips[1])
+        canon_path = tmp_path / "canon.npy"
+        np.save(canon_path, np.stack([clips[0], clips[2], clips[3]]))
+        qdir = tmp_path / "query_out"
+        query_cli.main([
+            "--run-dir", str(run_dir), "--text-embedding", str(emb_path),
+            "--canonical-embedding", str(canon_path), "--views", "0",
+            "--output", str(qdir),
+        ])
+        rel = np.load(qdir / "view0000_q0.npy")
+        peak = np.unravel_index(np.argmax(rel), rel.shape)
+        assert ids[peak] == 1, (peak, ids[peak])  # peak on sphere 1
+
+        gdir = tmp_path / "grasp_out"
+        grasp_cli.main([
+            "--run-dir", str(run_dir), "--text-embedding", str(emb_path),
+            "--canonical-embedding", str(canon_path), "--threshold", "0.5",
+            "--output", str(gdir),
+        ])
+        import json as _json
+
+        g = _json.loads((gdir / "grasp.json").read_text())
+        from gaussiangrasper_tpu.data.synthetic import SPHERES
+
+        # grasp position is in the model (dataparser-oriented) frame
+        c1, r1, _ = SPHERES[1]
+        tf = np.asarray(trainer.dm.outputs.dataparser_transform)
+        sc = float(trainer.dm.outputs.dataparser_scale)
+        c1_model = (tf[:, :3] @ c1 + tf[:, 3]) * sc
+        assert np.linalg.norm(np.asarray(g["position"]) - c1_model) \
+            < 3 * r1 * sc, (g, c1_model.tolist())
+
         # --- scene update: move sphere 1, fine-tune on the after capture
         # (ref update.sh flow) ---
         from gaussiangrasper_tpu.engine import checkpoint as ckpt
