@@ -249,9 +249,10 @@ def _measure():
 
     fwd_bwd, field = build_render_fwd_bwd()
     dt_render = _median_time(fwd_bwd, field)
-    if dt_render < MIN_PLAUSIBLE_S:
-        dt_render = dt_sync  # flagged implicitly: render >= step is absurd
-    return dt_full, dt_sync, dt_render
+    render_flake = dt_render < MIN_PLAUSIBLE_S
+    if render_flake:
+        dt_render = dt_sync  # substituted; flagged in the JSON
+    return dt_full, dt_sync, dt_render, render_flake
 
 
 def main():
@@ -267,10 +268,15 @@ def main():
 
     def run():
         try:
-            result["dt"], result["dt_sync"], result["dt_render"] = _measure()
-            result["pairs"] = _count_pairs()
+            (result["dt"], result["dt_sync"], result["dt_render"],
+             result["render_flake"]) = _measure()
         except Exception as e:  # surface compile/runtime errors as a line
             result["error"] = f"{type(e).__name__}: {e}"
+            return
+        try:
+            result["pairs"] = _count_pairs()
+        except Exception as e:  # roofline is optional — flag, don't hide
+            result["pairs_error"] = f"{type(e).__name__}: {e}"
 
     worker = threading.Thread(target=run, daemon=True)
     worker.start()
@@ -280,16 +286,22 @@ def main():
         px = WIDTH * HEIGHT
         px_per_s = px / result["dt"]
         extras = {}
-        if "pairs" in result:
+        if result.get("render_flake"):
+            # dt_render was substituted by dt_sync (bogus-timing mode hit
+            # only the render measurement) — mark the derived fields
+            extras["render_timing_flake"] = True
+        if "pairs" in result and not result.get("render_flake"):
             # pair-throughput roofline (see PAIR_PIXEL_FLOPS comment):
             # fwd+bwd composites every pair twice against 1024 pixels
             pp_per_s = 2.0 * result["pairs"] * TILE_PIXELS / result["dt_render"]
             sol = VPU_F32_FLOPS / PAIR_PIXEL_FLOPS
-            extras = {
+            extras.update({
                 "pairs_composited": result["pairs"],
                 "pair_pixel_per_s": round(pp_per_s, 1),
                 "vs_pair_sol": round(pp_per_s / sol, 4),
-            }
+            })
+        if "pairs_error" in result:
+            extras["pairs_error"] = result["pairs_error"]
         print(
             json.dumps(
                 {

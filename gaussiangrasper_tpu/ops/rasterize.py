@@ -133,6 +133,15 @@ def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
     return tw, th
 
 
+def tiles_cap(config: "RasterizeConfig", num_tiles: int) -> int:
+    """Resolved per-Gaussian covered-tile cap MT (<=0 means the whole
+    grid). The binning grid, the pair-stream guard, and the sort-reduce
+    path must all agree on this value."""
+    if config.max_tiles_per_gaussian <= 0:
+        return num_tiles
+    return min(config.max_tiles_per_gaussian, num_tiles)
+
+
 _PRUNE_MARGIN = 1e-4
 """Safety margin (in sigma units) for the alpha-cutoff tile pruning: the
 lower bound d^2/(2*lambda_max) is computed from cov2d while the composite
@@ -170,7 +179,7 @@ def enumerate_pairs(
     tw, th = tile_grid(width, height, ts)
     T = tw * th
     n = proj.xys.shape[0]
-    MT = T if config.max_tiles_per_gaussian <= 0 else min(config.max_tiles_per_gaussian, T)
+    MT = tiles_cap(config, T)
 
     xys = jax.lax.stop_gradient(proj.xys)
     radii = jax.lax.stop_gradient(proj.radii)
@@ -246,7 +255,7 @@ def bin_gaussians(
     T = tw * th
     n = proj.xys.shape[0]
     K = min(config.max_gaussians_per_tile, n)
-    MT = T if config.max_tiles_per_gaussian <= 0 else min(config.max_tiles_per_gaussian, T)
+    MT = tiles_cap(config, T)
 
     # Everything runs in ORIGINAL index order; depth ordering comes from
     # the pair sort itself — ONE stable two-key sort of the grid: primary
@@ -495,8 +504,7 @@ def rasterize_projected(
             # tile segment DMA in the kernels, ONE scatter-add by the
             # pair payload in the backward. No (T, K) build anywhere.
             K = min(config.max_gaussians_per_tile, proj.xys.shape[0])
-            MT = (T if config.max_tiles_per_gaussian <= 0
-                  else min(config.max_tiles_per_gaussian, T))
+            MT = tiles_cap(config, T)
             out, alpha_im = rasterize_pallas.composite_pair_stream(
                 bins.pair_gidx, bins.pair_starts, bins.tile_count,
                 proj.xys, proj.conics, opacities, colors, background,

@@ -573,6 +573,14 @@ def _fwd_pairs_kernel(
     # cut is a prefix property (cum is monotone non-increasing), so the
     # composite mask of entry k is exactly k < ncomp — the backward walks
     # in reverse using only this scalar, no prefix reconstruction needed.
+    # Float caveat: prefix outputs are independent dot products whose
+    # rounding can differ by ~1 ulp, so the fwd mask could in principle
+    # have a 1-entry hole/extra exactly AT the cut where cum ~ LOG_EPS;
+    # the backward's k < ncomp mask is prefix-shaped by construction and
+    # would then treat that boundary entry differently. The discrepancy
+    # is bounded by that entry's weight (~the 1e-4 transmittance cut
+    # times |c|), far inside the oracle tolerances, and every backend
+    # shares per-entry float cut tests — accepted, not silent.
     ncomp_ref[0] = ncomp.T
 
 

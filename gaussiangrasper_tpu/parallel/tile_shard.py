@@ -54,6 +54,7 @@ from gaussiangrasper_tpu.ops.rasterize import (
     enumerate_pairs,
     rasterize_projected,
     tile_grid,
+    tiles_cap,
 )
 
 
@@ -161,8 +162,7 @@ def composite_tile_sharded(
     a_dim = 11 + c
     T = tw * th
     t_band = (th_pad // d) * tw  # tiles per band (global ids contiguous)
-    mt = T if config.max_tiles_per_gaussian <= 0 else min(
-        config.max_tiles_per_gaussian, T)
+    mt = tiles_cap(config, T)
     k_cap = min(config.max_gaussians_per_tile, d * v)
     if band_pair_budget is None:
         # 1.25x the balanced share of one source's pairs landing in one

@@ -122,7 +122,13 @@ function drawRig(){
   const ctx=rigc.getContext('2d');
   ctx.clearRect(0,0,W,H);
   if(!scene||!document.getElementById('showrig').checked) return;
-  const p=pose(), f=0.7*W;
+  // object-fit:contain letterboxing: project into the DISPLAYED frame
+  // rect, not the window (the server renders with f = 0.7 * renderW, so
+  // the displayed focal is 0.7 * displayed width)
+  const aw=img.naturalWidth||W, ah=img.naturalHeight||H;
+  const s=Math.min(W/aw, H/ah), dw=aw*s, dh=ah*s;
+  const ox=(W-dw)/2, oy=(H-dh)/2;
+  const p=pose(), f=0.7*dw;
   const sub=(a,b)=>[a[0]-b[0],a[1]-b[1],a[2]-b[2]];
   const crs=(a,b)=>[a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]];
   const nrm=a=>{const n=Math.hypot(...a);return [a[0]/n,a[1]/n,a[2]/n];};
@@ -132,7 +138,7 @@ function drawRig(){
   function proj(q){
     const d=sub(q,p.eye), z=dot(d,fwd);
     if(z<0.05) return null;
-    return [W/2+f*dot(d,right)/z, H/2-f*dot(d,tu)/z];
+    return [ox+dw/2+f*dot(d,right)/z, oy+dh/2-f*dot(d,tu)/z];
   }
   if(scene.points){
     for(let i=0;i<scene.points.length;i++){
