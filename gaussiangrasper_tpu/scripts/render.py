@@ -114,6 +114,13 @@ def main(argv=None) -> None:
             "psnr": float(losses.psnr(jnp.asarray(rgb), jnp.asarray(gt))),
             "ssim": float(losses.ssim(jnp.asarray(rgb), jnp.asarray(gt))),
         }
+        # masked PSNR for mask-gated captures: training supervises only
+        # valid_mask pixels (ref get_loss_dict masks the L1), so the
+        # full-image psnr above is dragged by unsupervised regions
+        vm = np.asarray(batch.get("valid_mask", np.ones(gt.shape[:2], bool)))
+        if not vm.all():
+            row["psnr_masked"] = float(losses.psnr(
+                jnp.asarray(rgb), jnp.asarray(gt), jnp.asarray(vm)))
         # lpips is weight-gated (utils/perceptual.py): present only when a
         # VGG backbone is cached locally (the reference's torchmetrics
         # LPIPS needs the same download)
