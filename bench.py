@@ -66,6 +66,25 @@ PAIR_PIXEL_FLOPS = 60.0
 VPU_F32_FLOPS = 7.0e12
 TILE_PIXELS = 1024.0
 
+# Second bound (round-4 verdict): the VPU model above is the IDEAL-
+# algorithm bound (a sequential per-pixel walk does ~60 f32 VPU ops per
+# pair-pixel visit); the SHIPPED kernels instead ride the MXU with
+# triangular prefix matmuls that do ~KC/2-times redundant FLOPs per
+# pair-pixel. The formulation-attainable bound counts the matmul FLOPs
+# the implemented algorithm must execute per pair-pixel visit:
+#   fwd:  one (KC,KC)@(KC,P) prefix matmul per chunk  -> 2*KC flops/pp
+#         one (P,KC)@(KC,C) accum matmul              -> 2*C
+#   bwd:  two prefix matmuls (suffix lcomp + wgc)     -> 4*KC
+#         col@g_out + w@g_out matmuls                 -> 4*C
+# at the MEASURED in-kernel matmul rate (~33 TF/s f32 on this v5e, r4
+# xplane; the MXU's f32 rate, not the bf16 peak). vs_mxu_formulation =
+# (FLOPs the formulation needs / rate) / measured render time — i.e. the
+# fraction of the formulation-bound floor actually achieved; unlike
+# vs_pair_sol it excludes the 64x prefix amplification built into the
+# algorithm, so round-over-round MFU progress is meaningful.
+MXU_F32_FLOPS = 33.0e12
+CHANNELS = 3 + FEATURE_DIM + 1 + 3  # fused rgb+feature+depth+normal pass
+
 
 def build_scene():
     from gaussiangrasper_tpu.core.cameras import Camera
@@ -295,10 +314,18 @@ def main():
             # fwd+bwd composites every pair twice against 1024 pixels
             pp_per_s = 2.0 * result["pairs"] * TILE_PIXELS / result["dt_render"]
             sol = VPU_F32_FLOPS / PAIR_PIXEL_FLOPS
+            # formulation-attainable floor (see MXU_F32_FLOPS comment)
+            from gaussiangrasper_tpu.ops.rasterize_pallas import KC
+
+            mxu_flops = (result["pairs"] * TILE_PIXELS
+                         * (6.0 * KC + 6.0 * CHANNELS))
+            dt_floor = mxu_flops / MXU_F32_FLOPS
             extras.update({
                 "pairs_composited": result["pairs"],
                 "pair_pixel_per_s": round(pp_per_s, 1),
                 "vs_pair_sol": round(pp_per_s / sol, 4),
+                "vs_mxu_formulation": round(
+                    dt_floor / result["dt_render"], 4),
             })
         if "pairs_error" in result:
             extras["pairs_error"] = result["pairs_error"]

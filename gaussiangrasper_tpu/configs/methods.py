@@ -46,7 +46,9 @@ def _gaussian_splatting(args) -> None:
     if len(args.data) > 1:
         from gaussiangrasper_tpu.engine.multi_scene import train_multi
 
-        train_multi(config, args.data)
+        mesh_arg = getattr(args, "mesh", None)
+        multi_dp = int(mesh_arg.split(",")[0]) if mesh_arg else None
+        train_multi(config, args.data, dp=multi_dp)
         return
     trainer = make_trainer(config)
     trainer.setup()

@@ -670,6 +670,10 @@ class NuScenesParser:
     version: Optional[str] = None   # auto-detects v1.0-mini / v1.0-trainval
     cameras: tuple = ("FRONT",)
     train_split_fraction: float = 0.9
+    mask_dir: Optional[Path] = None
+    """Directory holding per-camera masks (ref nuscenes_dataparser.py:
+    131-135 + scripts/datasets/process_nuscenes_masks.py): mask files live
+    at <mask_dir>/masks/<CAM_NAME>/<image stem>.png. None = no masks."""
 
     def _tables(self, version: str):
         root = Path(self.data) / version
@@ -720,7 +724,7 @@ class NuScenesParser:
         transform2 = np.array([[0, 0, 1, 0], [0, 1, 0, 0],
                                [-1, 0, 0, 0], [0, 0, 0, 1.0]])
         cams = ["CAM_" + c for c in self.cameras]
-        names, intr, poses, whs = [], [], [], []
+        names, mask_names, intr, poses, whs = [], [], [], [], []
         for sample in samples:
             for cam in cams:
                 sd = t["sample_data"][sample["data"][cam]]
@@ -734,6 +738,14 @@ class NuScenesParser:
                 pose[2, :] *= -1
                 pose = transform2 @ pose       # z-up
                 names.append(data / sd["filename"])
+                if self.mask_dir is not None:
+                    # ref :131-135: <mask_dir>/masks/<CAM>/<img>.png (the
+                    # masks are produced from the jpg captures, hence the
+                    # jpg -> png rename)
+                    img_name = Path(sd["filename"]).name.replace(
+                        "jpg", "png")
+                    mask_names.append(
+                        Path(self.mask_dir) / "masks" / cam / img_name)
                 intr.append(np.asarray(cs["camera_intrinsic"], np.float64))
                 whs.append((int(sd.get("width", 1600)),
                             int(sd.get("height", 900))))
@@ -748,7 +760,12 @@ class NuScenesParser:
         n_train = math.ceil(n_snap * self.train_split_fraction)
         i_train = np.linspace(0, n_snap - 1, n_train, dtype=int)
         i_eval = np.setdiff1d(np.arange(n_snap), i_train)
-        snap = i_train if self.split == "train" else i_eval
+        if self.split == "train":
+            snap = i_train
+        elif self.split in ("val", "validation", "test"):
+            snap = i_eval
+        else:  # ref nuscenes_dataparser.py:185 raises on unknown splits
+            raise ValueError(f"Unknown dataparser split {self.split!r}")
         idx = (snap[None, :] * len(cams)
                + np.arange(len(cams))[:, None]).ravel()
 
@@ -769,6 +786,9 @@ class NuScenesParser:
             cameras=parsed,
             dataparser_scale=float(scale),
             dataparser_transform=transform,
+            mask_filenames=(
+                [mask_names[i] for i in idx] if mask_names else None
+            ),
         )
 
 

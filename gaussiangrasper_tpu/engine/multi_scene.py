@@ -32,10 +32,17 @@ def unstack_states(stacked: TrainState, n: int) -> List[TrainState]:
     return [jax.tree.map(lambda l: l[i], stacked) for i in range(n)]
 
 
-def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState]:
+def train_multi(config, data_dirs, share_up_net: bool = True,
+                dp: int | None = None) -> List[TrainState]:
     """Host loop for multi-scene training: one datamanager per scene, a
     common capacity (max over scenes), vmapped stepping, per-scene
-    checkpoints under <output>/<experiment>/scene_<i>/."""
+    checkpoints under <output>/<experiment>/scene_<i>/.
+
+    dp: shard the stacked scene axis over a `dp`-device mesh (BASELINE
+    config 4 on a slice: scene-parallelism IS data-parallelism here —
+    each device advances its scene subset, and the shared up_net mean
+    becomes an XLA cross-device reduce). Requires S % dp == 0. None = all
+    scenes on the default device."""
     import dataclasses
 
     import numpy as np
@@ -64,6 +71,15 @@ def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState
     from gaussiangrasper_tpu.engine.trainer import _downscale_factor, downscale_batch
 
     n_scenes = len(trainers)
+    scene_sharding = None
+    if dp is not None and dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if n_scenes % dp:
+            raise ValueError(f"{n_scenes} scenes not divisible by dp={dp}")
+        mesh = Mesh(jax.devices()[:dp], ("dp",))
+        scene_sharding = NamedSharding(mesh, P("dp"))
+        stacked = jax.device_put(stacked, scene_sharding)
     for step in range(int(states[0].step), config.max_iterations):
         d = _downscale_factor(config.model, step)
         cams, batches = [], []
@@ -74,6 +90,11 @@ def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState
             batches.append(batch)
         cam_stack = jax.tree.map(lambda *ls: jnp.stack(ls), *cams)
         batch_stack = jax.tree.map(lambda *ls: jnp.stack(ls), *batches)
+        if scene_sharding is not None:
+            cam_stack = jax.tree.map(
+                lambda l: jax.device_put(l, scene_sharding)
+                if hasattr(l, "shape") else l, cam_stack)
+            batch_stack = jax.device_put(batch_stack, scene_sharding)
         stacked, metrics = multi_scene_train_step(
             stacked, cam_stack, batch_stack, config.model, share_up_net
         )
@@ -88,6 +109,8 @@ def train_multi(config, data_dirs, share_up_net: bool = True) -> List[TrainState
                 for st, t in zip(per_scene, trainers)
             ]
             stacked = stack_states(per_scene)
+            if scene_sharding is not None:
+                stacked = jax.device_put(stacked, scene_sharding)
         if step % config.steps_per_log == 0:
             print(
                 f"[{step:6d}] scenes={n_scenes} loss={float(metrics['loss']):.4f} "

@@ -141,6 +141,10 @@ def init_random(
     """Random-init fallback (ref gaussian_splatting.py:252: 500k uniform in
     a +-5 cube with random colors)."""
     cap = capacity or n
+    # a capacity below n cannot hold n points: seed what fits (a pinned
+    # small --capacity used to produce an n-sized field with a cap-sized
+    # alive mask — shape mismatch downstream)
+    n = min(n, cap)
     dim_sh = sh.num_sh_bases(sh_degree)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     means = (jax.random.uniform(k1, (n, 3)) - 0.5) * extent

@@ -632,7 +632,11 @@ def _bwd_pairs_kernel(
     bg = bg_ref[0]
     bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)
     tail_pix = (t_final * (bg_dot_g - g_alpha_ref[0])).T
-    ncomp = ncomp_ref[0].T        # (1, P) per-pixel cut index
+    # per-pixel cut index, carried in int32 so the k < ncomp mask stays
+    # exact for any stream dtype (a bf16 float compare loses integer
+    # exactness past 256; the fwd kernel accumulates ncomp in the f32
+    # walk dtype, so the int cast here is lossless)
+    ncomp = ncomp_ref[0].T.astype(jnp.int32)  # (1, P)
     logt_total = logt_ref[0].T    # (1, P) sum of composited log_t
 
     seg = pltpu.make_async_copy(
@@ -669,7 +673,7 @@ def _bwd_pairs_kernel(
         alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
-        composite = (i * KC + kidx).astype(dtype) < ncomp
+        composite = (i * KC + kidx) < ncomp  # int32 vs int32 (dtype-safe)
         lcomp = jnp.where(composite, log_t, 0.0)
         gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
         return i, lcomp, sfx(lcomp), gc
@@ -680,7 +684,7 @@ def _bwd_pairs_kernel(
         xy, con, opac, col = fetch(i)
         alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
-        composite = (i * KC + kidx).astype(dtype) < ncomp
+        composite = (i * KC + kidx) < ncomp  # int32 vs int32 (dtype-safe)
         sc_incl = sfx_lcomp + suffix_comp
         # prefix of composited log_t STRICTLY before k = total - sc_incl
         t_before = jnp.exp(logt_total - sc_incl)
@@ -892,15 +896,20 @@ SCATTER_IMPL = _os.environ.get("GGT_SCATTER", "add")
 
 def _segment_reduce_pairs(pair_gidx, gpairs, n, a, mt):
     """'sort' reduction (see SCATTER_IMPL). Garbage indices past the
-    valid stream prefix carry ZERO gradient rows (aliased init), and the
-    stable sort orders each Gaussian's segment by stream position, so
-    real pairs (always in the valid prefix) sort before any garbage
-    duplicates — the first mt entries of a segment always cover every
-    real pair."""
+    valid stream prefix carry ZERO gradient rows (aliased init). The sort
+    key is (gaussian, is_zero_row, stream position): all-zero rows —
+    garbage duplicates AND un-walked rows inside clipped segments (a
+    tile_count > K or B-budget clamp leaves an earlier tile's zero rows
+    at stream positions BEFORE a later tile's walked rows) — sort after
+    every real gradient row of the same Gaussian, so the first-mt window
+    always covers every nonzero row. Dropping zero rows past the window
+    is lossless by construction (each Gaussian has at most mt real
+    pairs: one per hit tile)."""
     b = pair_gidx.shape[0]
     iota = jnp.arange(b, dtype=jnp.int32)
-    gidx_sorted, perm = jax.lax.sort((pair_gidx, iota), num_keys=1,
-                                     is_stable=True)
+    is_zero = jnp.all(gpairs[:, :a] == 0.0, axis=1).astype(jnp.int32)
+    gidx_sorted, _, perm = jax.lax.sort((pair_gidx, is_zero, iota),
+                                        num_keys=2, is_stable=True)
     gsorted = gpairs[perm][:, :a]
     bounds = jnp.searchsorted(
         gidx_sorted, jnp.arange(n + 1, dtype=jnp.int32)

@@ -87,6 +87,16 @@ def main(argv=None) -> None:
     p.add_argument("--after-data", type=Path, default=None,
                    help="post-move capture dir (default <data>/../after_updating)")
     p.add_argument("--max-iterations", type=int, default=580)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'dp,gauss' device mesh: run the fine-tune through "
+                        "the sharded host loop (BASELINE config 5 — the "
+                        "scene-update workload on a multi-chip slice; the "
+                        "reference re-enters its DDP-capable train_loop, "
+                        "ref update.py:163-177)")
+    p.add_argument("--tile-shard", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="with --mesh: distribute each camera's compositing "
+                        "over the gauss axis (auto = on when gauss > 1)")
     args = p.parse_args(argv)
 
     config, trainer, state = load_run(args.run_dir)
@@ -144,7 +154,16 @@ def main(argv=None) -> None:
     ft_trainer = make_trainer(ft_config)
     ft_trainer.setup()
     ft_trainer.state = state
-    state = ft_trainer.train()
+    if args.mesh:
+        from gaussiangrasper_tpu.parallel.host_loop import train_sharded
+
+        dp, gauss = (int(x) for x in args.mesh.split(","))
+        tile_shard = (None if args.tile_shard == "auto"
+                      else args.tile_shard == "on")
+        state = train_sharded(ft_trainer, dp=dp, gauss=gauss,
+                              tile_shard=tile_shard)
+    else:
+        state = ft_trainer.train()
     # keep the step-0 pre-finetune state too (the reference sets
     # save_only_latest_checkpoint=False for the edit flow, update.py:166)
     path = ckpt.save_checkpoint(edit_dir / "checkpoints", state,

@@ -5,19 +5,28 @@ the output to docs/ROUND_NOTES.md):
 
     timeout 1700 python scripts_dev/quality_gate.py
 
-Two checks, both automated versions of what caught the round-3 bf16 SSIM
-cancellation bug (docs/ROUND_NOTES.md):
+Three checks; 2 and 3 are automated versions of what caught the round-3
+bf16 SSIM cancellation bug (docs/ROUND_NOTES.md):
 
-1. CURVE: from-scratch training at a reduced bench operating point must
-   CLIMB by >= 3 dB (same contract as scripts_dev/quality_probe.py, fewer
-   steps so the gate fits a round budget).
-2. PRECISION A/B: the same training trajectory is run at the platform's
+1. TABLETOP CURVE (round-5, VERDICT r4 #4): from-scratch PRODUCTION
+   training (trainer + datamanager + refinement) on the ray-traced
+   tabletop fixture (data/synthetic.py) — image-like data the model
+   cannot trivially represent — must climb by >= 3 dB masked PSNR.
+   Catches densify/loss-pipeline regressions that the self-representable
+   Gaussian-field GT of check 3 cannot (its GT is fit by construction).
+   Skippable with --no-tabletop for a kernels-only gate.
+2. CURVE: from-scratch raw-step training at a reduced bench operating
+   point must CLIMB by >= 3 dB (same contract as scripts_dev/
+   quality_probe.py, fewer steps so the gate fits a round budget).
+3. PRECISION A/B: the same training trajectory is run at the platform's
    default matmul precision and again with everything pinned to HIGHEST
-   (same seed, same data). If any stage suffers a bf16 cancellation the
-   default-precision curve falls behind; the gate fails when the final
-   PSNRs diverge by more than PSNR_BAND dB. On CPU both runs are f32 and
-   identical — the A/B is a TPU gate (the in-suite reduced version lives
-   in tests/test_model_zoo.py::TestPrecisionAB, slow profile).
+   (same seed, same data — the Gaussian-field GT is the right arm here:
+   both runs chase the SAME target, isolating precision). If any stage
+   suffers a bf16 cancellation the default-precision curve falls behind;
+   the gate fails when the final PSNRs diverge by more than PSNR_BAND
+   dB. On CPU both runs are f32 and identical — the A/B is a TPU gate
+   (the in-suite reduced version lives in
+   tests/test_model_zoo.py::TestPrecisionAB, slow profile).
 
 PSNR_BAND = 1.0 dB: the round-3 bug produced a 14 dB gap at step 300;
 healthy runs measured < 0.3 dB apart (precision only reorders rounding),
@@ -131,6 +140,45 @@ def run_curve(cfg, cams, gts, n, wh, steps, log_every, precision=None,
     return curve
 
 
+def run_tabletop_curve(wh, steps, capacity, workdir=None):
+    """Check 1: production-path training on the ray-traced tabletop.
+    Returns (masked_psnr_before, masked_psnr_after) on train view 0."""
+    import tempfile
+
+    import numpy as np
+
+    from gaussiangrasper_tpu.data.synthetic import generate_tabletop
+    from gaussiangrasper_tpu.engine.trainer import TrainerConfig, make_trainer
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig, render
+
+    workdir = Path(workdir or tempfile.mkdtemp(prefix="ggt_gate_"))
+    scene = generate_tabletop(workdir / "scene", width=wh, height=wh,
+                              n_views=6, feature_downscale=4)
+    cfg = TrainerConfig(
+        data=scene, output_dir=workdir / "runs", experiment_name="gate",
+        max_iterations=steps, steps_per_save=steps, capacity=capacity,
+        model=GaussianSplatConfig(
+            num_downscales=0, warmup_length=min(100, steps // 3),
+            refine_every=100, stop_split_at=steps,
+        ),
+    )
+    trainer = make_trainer(cfg)
+    state0 = trainer.setup()
+    cam0, batch0 = trainer.dm.get_batch(0)
+    mask = np.asarray(batch0["valid_mask"])
+
+    def masked_psnr(state, step):
+        out = render(state.field, state.alive, cam0, step, cfg.model)
+        err = (np.asarray(out["rgb"]) - np.asarray(batch0["image"])) ** 2
+        mse = float(err[mask].mean())
+        return -10.0 * float(jnp.log10(mse + 1e-12))
+
+    before = masked_psnr(state0, 0)
+    state = trainer.train()
+    after = masked_psnr(state, steps)
+    return before, after
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=200_000)
@@ -138,9 +186,26 @@ def main():
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--views", type=int, default=2)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--no-tabletop", action="store_true",
+                   help="skip the production tabletop curve (check 1)")
+    p.add_argument("--tt-wh", type=int, default=256)
+    p.add_argument("--tt-steps", type=int, default=400)
+    p.add_argument("--tt-capacity", type=int, default=32768)
     args = p.parse_args()
 
     t0 = time.perf_counter()
+    tt_ok = True
+    if not args.no_tabletop:
+        tb, ta = run_tabletop_curve(args.tt_wh, args.tt_steps,
+                                    args.tt_capacity)
+        print(f"[tabletop] masked PSNR {tb:.2f} -> {ta:.2f} "
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        # calibration (256^2/cap 32768, CPU smoke + TPU r5): seeded init
+        # ~12.6 dB, climbs past 16 within 400 steps; a broken densify/
+        # loss path shows as NO climb
+        if not ta > tb + 3.0:
+            print(f"[tabletop] QUALITY REGRESSION: {tb:.2f} -> {ta:.2f}")
+            tt_ok = False
     cfg, cams, gts = build(args.n, args.wh, args.views)
     print(f"GT ready ({time.perf_counter()-t0:.0f}s)", flush=True)
 
@@ -152,7 +217,7 @@ def main():
         pts = "  ".join(f"{s}:{p:.2f}" for s, p in curve)
         print(f"[{name}] {pts}  ({time.perf_counter()-t0:.0f}s)", flush=True)
 
-    ok = True
+    ok = tt_ok
     for name, curve in results.items():
         first, last = curve[0][1], curve[-1][1]
         if first > 60.0:

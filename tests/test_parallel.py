@@ -455,3 +455,146 @@ class TestMergeBinning:
                                        np.asarray(ref["image"]), atol=1e-6,
                                        err_msg=mode)
         assert int(out["bins"].merge_overflow) == 0
+
+    def test_undersized_band_budget_reports_merge_overflow_only(self):
+        """Regression for the documented band-path accounting (tile_shard
+        .py merge_binned_band): the per-source extraction budget `bpb` is
+        the band path's ONLY pair clamp — its drops land in
+        merge_overflow, while composite_pair_stream's B clamp is
+        structurally zero (the merged stream has static size d*bpb and
+        every segment lies inside it). Verified by (a) a deliberately
+        undersized budget reporting merge_overflow > 0, and (b) the
+        pallas pair-stream branch and the xla table branch producing
+        IDENTICAL images under that budget — if the pallas branch had an
+        extra unreported clamp the two would diverge."""
+        import tests.test_rasterize as R
+        from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+
+        scene = R.make_scene(jax.random.key(11), 720, width=96, height=64,
+                             n_channels=4)
+        proj = R.project_scene(scene)
+        mesh = make_mesh(gauss=8)
+        bg = jnp.zeros(4)
+        w, h = 96, 64
+
+        def run(backend, bpb):
+            cfg = RasterizeConfig(tile_chunk=4, backend=backend)
+            return composite_tile_sharded(
+                proj, scene["colors"], scene["opacities"], bg, w, h, cfg,
+                mesh=mesh, bin_mode="merge", band_pair_budget=bpb,
+            )
+
+        # (a) undersized budget: drops are REPORTED, never silent
+        tight = run("xla", 32)
+        assert int(tight["bins"].merge_overflow) > 0
+        # (b) both backends clip identically under the same budget
+        tight_p = run("pallas", 32)
+        np.testing.assert_allclose(np.asarray(tight_p["image"]),
+                                   np.asarray(tight["image"]), atol=1e-6)
+        assert int(tight_p["bins"].merge_overflow) == int(
+            tight["bins"].merge_overflow)
+        # (c) adequate budget: no drops, matches the default-path image
+        ok = run("xla", None)
+        assert int(ok["bins"].merge_overflow) == 0
+        assert not np.allclose(np.asarray(tight["image"]),
+                               np.asarray(ok["image"]), atol=1e-6)
+
+
+def _mini_scene(tmp_path, n_imgs=4):
+    """Tiny transforms.json scene shared by the sharded-CLI tests."""
+    import json
+
+    from PIL import Image
+
+    data = tmp_path / "scene"
+    (data / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n_imgs):
+        name = f"f{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        ).save(data / "images" / name)
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i
+        frames.append({"file_path": f"images/{name}",
+                       "transform_matrix": pose.tolist()})
+    (data / "transforms.json").write_text(json.dumps(
+        {"fl_x": 25.0, "fl_y": 25.0, "cx": 16, "cy": 12, "w": 32, "h": 24,
+         "frames": frames}))
+    return data
+
+
+def test_sharded_scene_update_cli(tmp_path, capsys):
+    """BASELINE config 5 composition (round-4 verdict #5): the scene-
+    update fine-tune runs through the SHARDED host loop — hull-select ->
+    rigid transform -> train_sharded on a gauss mesh with tile-shard
+    auto-on (the reference re-enters its DDP-capable train_loop,
+    ref update.py:163-177)."""
+    pytest.importorskip("scipy")
+    from gaussiangrasper_tpu.scripts import train, update
+
+    data = _mini_scene(tmp_path)
+    out = tmp_path / "out"
+    train.main([
+        "--data", str(data), "--output-dir", str(out),
+        "--experiment-name", "base",
+        "--max-iterations", "2", "--steps-per-save", "2",
+        "--capacity", "512",
+        "--feature-dim", "8", "--sh-degree", "1",
+        "--warmup-length", "99", "--refine-every", "100",
+    ])
+    run_dir = out / "base"
+
+    # a hull that surely contains some gaussians + a small rigid move
+    obj = tmp_path / "obj.npy"
+    np.save(obj, np.array([[x, y, z] for x in (-9, 9) for y in (-9, 9)
+                           for z in (-9, 9)], np.float64))
+    move = np.eye(4)
+    move[:3, 3] = (0.1, 0.0, 0.0)
+    move_path = tmp_path / "move.npy"
+    np.save(move_path, move)
+
+    after = _mini_scene(tmp_path / "after_dir")
+    update.main([
+        "--run-dir", str(run_dir), "--edit-object", str(obj),
+        "--transform-npy", str(move_path), "--after-data", str(after),
+        "--max-iterations", "3", "--mesh", "2,4",
+    ])
+    # the sharded loop ran (its summary line) and saved the edit ckpt
+    assert "sharded:" in capsys.readouterr().out
+    from gaussiangrasper_tpu.engine import checkpoint as ckpt
+
+    assert ckpt.latest_checkpoint(run_dir / "edit" / "checkpoints")
+
+
+def test_multi_scene_dp_mesh(tmp_path):
+    """Multi-scene batch training sharded over a dp mesh (BASELINE
+    config 4 on a slice): 2 scenes advance on 2 devices in one jitted
+    vmapped step; the shared up_net mean becomes a cross-device reduce."""
+    from gaussiangrasper_tpu.engine.multi_scene import train_multi
+    from gaussiangrasper_tpu.engine.trainer import TrainerConfig
+    from gaussiangrasper_tpu.models.model import GaussianSplatConfig
+    from gaussiangrasper_tpu.ops.rasterize import RasterizeConfig
+
+    dirs = [_mini_scene(tmp_path / f"s{i}") for i in range(2)]
+    cfg = TrainerConfig(
+        data=dirs[0], output_dir=tmp_path / "out", experiment_name="multi",
+        max_iterations=3, steps_per_save=3, prefetch=False,
+        model=GaussianSplatConfig(
+            feature_dim=8, sh_degree=1, warmup_length=99, refine_every=2,
+            raster=RasterizeConfig(tile_size=8, max_gaussians_per_tile=64,
+                                   tile_chunk=4),
+        ),
+    )
+    states = train_multi(cfg, dirs, dp=2)
+    assert len(states) == 2
+    for i in range(2):
+        from gaussiangrasper_tpu.engine import checkpoint as ckpt
+
+        assert ckpt.latest_checkpoint(
+            cfg.run_dir / f"scene_{i}" / "checkpoints")
+    # up_net shared: identical across scenes after training
+    w0, w1 = (jax.tree.leaves(s.fea_up) for s in states)
+    for a, b in zip(w0, w1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
