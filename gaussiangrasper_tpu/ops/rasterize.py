@@ -93,6 +93,33 @@ class RasterizeConfig:
     probe); segments clipped by B are counted in TileBins.pair_overflow
     (surfaced in train metrics), never silent."""
 
+    kernel_compute: str = "auto"
+    """Pallas pair-stream matmul-input precision: 'f32' keeps every MXU
+    input f32 (CUDA-exact, bit-matches the jnp oracle); 'bf16' casts the
+    triangular-prefix and color-accumulation matmul INPUTS to bf16 with
+    f32 accumulators and f32 walk carries (the r3 SSIM lesson: the
+    two-carry log-transmittance math itself stays f32) — the v5e MXU's
+    native mode, ~2-4x the f32 matmul rate that bounds both kernels (r4
+    xplane: 38.5 ms of the 72 ms device step, 'MXU-throughput-bound at
+    f32'). The ATTRIBUTE STREAM stays f32 either way: bf16 would
+    quantize splat centers by up to ~3 px at x~800 (8 mantissa bits) and
+    row gathers cost per ROW, not per byte, on this TPU (r3 probe), so a
+    half-width table buys nothing at the gather. 'auto' = bf16 on real
+    TPU (validated by the standing precision A/B gate), f32 elsewhere.
+    Env override for probes: GGT_KERNEL_COMPUTE."""
+
+    def resolved_kernel_compute(self) -> str:
+        import os
+
+        env = os.environ.get("GGT_KERNEL_COMPUTE")
+        if env:
+            return env
+        if self.kernel_compute != "auto":
+            return self.kernel_compute
+        from gaussiangrasper_tpu.ops.rasterize_pallas import _on_tpu
+
+        return "bf16" if _on_tpu() else "f32"
+
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
@@ -509,6 +536,7 @@ def rasterize_projected(
                 bins.pair_gidx, bins.pair_starts, bins.tile_count,
                 proj.xys, proj.conics, opacities, colors, background,
                 tw, ts, k_cap=K, mt=MT,
+                compute=config.resolved_kernel_compute(),
             )
         else:
             # Table path (v2): fused (T, K, A) gather inside the

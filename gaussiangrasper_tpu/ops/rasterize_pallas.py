@@ -492,7 +492,7 @@ def _fwd_pairs_kernel(
     pairs_hbm, bg_ref,
     out_ref, alpha_ref, logt_ref, ncomp_ref,
     scratch, sem,
-    *, tw: int, ts: int, c: int, kr: int,
+    *, tw: int, ts: int, c: int, kr: int, mm,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -503,8 +503,11 @@ def _fwd_pairs_kernel(
     if PREFIX_IMPL == "shift":
         pfx = _prefix_incl
     else:
-        tri = _tri(dtype)
-        pfx = lambda v: jnp.dot(tri, v, preferred_element_type=dtype)
+        # mm: matmul-INPUT dtype (f32 or bf16 — RasterizeConfig.
+        # kernel_compute); accumulation and every carry stay `dtype`
+        tri = _tri(mm)
+        pfx = lambda v: jnp.dot(tri, v.astype(mm),
+                                preferred_element_type=dtype)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
     n_chunks = pl.cdiv(count, KC)
 
@@ -542,7 +545,8 @@ def _fwd_pairs_kernel(
         composite = cum > LOG_EPS
         t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
         w = jnp.where(composite, alpha * t_before, 0.0)
-        accum = accum + jnp.dot(w.T, col, preferred_element_type=dtype)
+        accum = accum + jnp.dot(w.T.astype(mm), col.astype(mm),
+                                preferred_element_type=dtype)
         cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
         logt_comp = logt_comp + jnp.sum(
             jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
@@ -599,7 +603,7 @@ def _bwd_pairs_kernel(
     gpairs_in,
     gpairs_hbm,
     scratch, gscratch, sem, gsem,
-    *, tw: int, ts: int, c: int, kr: int,
+    *, tw: int, ts: int, c: int, kr: int, mm,
 ):
     """ONE reverse walk (back-to-front), the CUDA backward's structure:
     the composite mask comes straight from the saved per-pixel cut index
@@ -622,12 +626,14 @@ def _bwd_pairs_kernel(
     if PREFIX_IMPL == "shift":
         sfx = _suffix_incl
     else:
-        rtri = _rtri(dtype)
-        sfx = lambda v: jnp.dot(rtri, v, preferred_element_type=dtype)
+        rtri = _rtri(mm)
+        sfx = lambda v: jnp.dot(rtri, v.astype(mm),
+                                preferred_element_type=dtype)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
     n_chunks = pl.cdiv(count, KC)
 
     g_out = g_out_ref[0]
+    g_out_mm = g_out.astype(mm)  # matmul-input cast, hoisted out of the walk
     t_final = jnp.exp(logt_ref[0])
     bg = bg_ref[0]
     bg_dot_g = jnp.dot(g_out, bg[:, None], preferred_element_type=dtype)
@@ -675,7 +681,8 @@ def _bwd_pairs_kernel(
         log_t = jnp.log1p(-alpha)
         composite = (i * KC + kidx) < ncomp  # int32 vs int32 (dtype-safe)
         lcomp = jnp.where(composite, log_t, 0.0)
-        gc = jnp.dot(col, g_out.T, preferred_element_type=dtype)
+        gc = jnp.dot(col.astype(mm), g_out_mm.T,
+                     preferred_element_type=dtype)
         return i, lcomp, sfx(lcomp), gc
 
     def _rtail(state, front):
@@ -711,7 +718,8 @@ def _bwd_pairs_kernel(
                 jnp.sum(dx * dy * dsigma, axis=1)[:, None],
                 jnp.sum(0.5 * dy * dy * dsigma, axis=1)[:, None],
                 jnp.sum(dopac, axis=1)[:, None],
-                jnp.dot(w, g_out, preferred_element_type=dtype),
+                jnp.dot(w.astype(mm), g_out_mm,
+                        preferred_element_type=dtype),
                 jnp.zeros((KC, gscratch.shape[1] - 6 - c), dtype),
             ],
             axis=1,
@@ -750,7 +758,7 @@ def _bwd_pairs_kernel(
 
 
 def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
-                    interpret):
+                    interpret, mm=jnp.float32):
     a = pair_attrs.shape[-1]  # LANE-padded
     p = ts * ts
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -770,7 +778,8 @@ def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
                         pltpu.SemaphoreType.DMA(())],
     )
     out, alpha, logt, ncomp = pl.pallas_call(
-        functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
+        functools.partial(_fwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr,
+                          mm=mm),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, p, c), pair_attrs.dtype),
@@ -784,7 +793,7 @@ def _call_fwd_pairs(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
 
 
 def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
-                    ncomp, tw, ts, kr, interpret):
+                    ncomp, tw, ts, kr, interpret, mm=jnp.float32):
     t = g_out.shape[0]
     a = pair_attrs.shape[-1]  # LANE-padded
     c = g_out.shape[-1]
@@ -809,7 +818,8 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
     )
     zeros = jnp.zeros(pair_attrs.shape, pair_attrs.dtype)
     (gpairs,) = pl.pallas_call(
-        functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr),
+        functools.partial(_bwd_pairs_kernel, tw=tw, ts=ts, c=c, kr=kr,
+                          mm=mm),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(pair_attrs.shape, pair_attrs.dtype)],
         # the zeros input (flattened input index 8, after the 2 scalar-
@@ -835,12 +845,12 @@ def _call_bwd_pairs(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
     return gpairs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _composite_pairs(starts_f, counts_f, pair_gidx, xys, conics, opacities,
-                     colors, bg, tw, ts, t, kr, mt):
+                     colors, bg, tw, ts, t, kr, mt, compute):
     (out, alpha), _ = _composite_pairs_fwd(
         starts_f, counts_f, pair_gidx, xys, conics, opacities, colors, bg,
-        tw, ts, t, kr, mt,
+        tw, ts, t, kr, mt, compute,
     )
     return out, alpha
 
@@ -869,13 +879,15 @@ def _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr):
 
 
 def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
-                         opacities, colors, bg, tw, ts, t, kr, mt):
+                         opacities, colors, bg, tw, ts, t, kr, mt,
+                         compute="f32"):
     starts = starts_f.astype(jnp.int32)
     counts = counts_f.astype(jnp.int32)
     pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr)
     out, alpha, logt, ncomp = _call_fwd_pairs(
         starts, counts, pair_attrs, bg[None, :], tw, ts, t,
         colors.shape[-1], kr, interpret=not _on_tpu(),
+        mm=jnp.bfloat16 if compute == "bf16" else jnp.float32,
     )
     res = (starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp,
            xys.shape[0])
@@ -921,13 +933,14 @@ def _segment_reduce_pairs(pair_gidx, gpairs, n, a, mt):
     return jnp.sum(jnp.where(valid[..., None], gsorted[pos], 0.0), axis=1)
 
 
-def _composite_pairs_bwd(tw, ts, t, kr, mt, res, g):
+def _composite_pairs_bwd(tw, ts, t, kr, mt, compute, res, g):
     starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp, n = res
     g_out, g_alpha = g
     gpairs = _call_bwd_pairs(
         starts_f.astype(jnp.int32), counts_f.astype(jnp.int32), pair_attrs,
         bg, g_out, g_alpha, logt, ncomp, tw, ts, kr,
         interpret=not _on_tpu(),
+        mm=jnp.bfloat16 if compute == "bf16" else jnp.float32,
     )
     a = 6 + g_out.shape[-1]
     b = pair_gidx.shape[0]
@@ -952,7 +965,7 @@ _composite_pairs.defvjp(_composite_pairs_fwd, _composite_pairs_bwd)
 
 def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
                           opacities, colors, bg, tw: int, ts: int,
-                          k_cap: int, mt: int = 0
+                          k_cap: int, mt: int = 0, compute: str = "f32"
                           ) -> Tuple[jax.Array, jax.Array]:
     """Differentiable per-tile compositing straight off the sorted pair
     stream (see the v3 section comment). pair_gidx (B,) int32 is the
@@ -987,5 +1000,5 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
                          jnp.maximum(b - starts, 0))
     return _composite_pairs(
         starts.astype(jnp.float32), counts.astype(jnp.float32), pair_gidx,
-        xys, conics, opacities, colors, bg, tw, ts, t, kr, mt,
+        xys, conics, opacities, colors, bg, tw, ts, t, kr, mt, compute,
     )

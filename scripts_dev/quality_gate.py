@@ -110,7 +110,16 @@ def run_curve(cfg, cams, gts, n, wh, steps, log_every, precision=None,
               fdim=32):
     """Train a fresh student for `steps`; returns [(step, psnr)].
     precision: None = platform default, or 'highest' (traced under
-    jax.default_matmul_precision, pinning every dot/conv)."""
+    jax.default_matmul_precision, pinning every dot/conv, AND with the
+    Pallas kernel_compute pinned to f32 — the kernel's explicit bf16
+    matmul-input casts are NOT covered by the matmul-precision flag, so
+    the A/B must pin both for the gap to catch kernel quantization)."""
+    import dataclasses
+
+    if precision == "highest":
+        cfg = dataclasses.replace(
+            cfg, raster=dataclasses.replace(cfg.raster, kernel_compute="f32")
+        )
     from gaussiangrasper_tpu.engine.train_state import init_train_state, train_step
     from gaussiangrasper_tpu.models.efd import init_mlp
     from gaussiangrasper_tpu.models.gaussian_field import init_random

@@ -416,7 +416,7 @@ class TestPrecisionAB:
         r = subprocess.run(
             [sys.executable, str(repo / "scripts_dev" / "quality_gate.py"),
              "--n", "8000", "--wh", "160", "--steps", "60", "--views",
-             "2", "--log-every", "20"],
+             "2", "--log-every", "20", "--no-tabletop"],
             capture_output=True, text=True, timeout=1500,
             env=__import__("os").environ.copy(),
         )

@@ -224,3 +224,45 @@ def test_unroll2_walk_matches(monkeypatch):
     np.testing.assert_array_equal(img1, img2)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_kernel_compute_close_to_f32():
+    """kernel_compute='bf16' casts only the MXU matmul INPUTS (prefix,
+    color accumulation, gc/color-grad products) to bf16 with f32
+    accumulators and f32 walk carries; the attribute stream and alpha
+    chain stay f32. Images and gradients must track the f32 path within
+    bf16 input-quantization tolerance (~2^-8 relative), and the f32 path
+    must remain the bit-exact default off-TPU."""
+    n = 200
+    scene = make_scene(jax.random.key(13), n, width=W, height=H,
+                       n_channels=5)
+    proj = project_scene(scene)
+    bg = jnp.linspace(0.1, 0.9, 5)
+    target = jax.random.uniform(jax.random.key(2), (H, W, 5))
+
+    def run(compute):
+        cfg = RasterizeConfig(max_gaussians_per_tile=n, tile_chunk=8,
+                              backend="pallas", kernel_compute=compute)
+
+        def loss(xys, conics, opac, colors):
+            p = proj._replace(xys=xys, conics=conics)
+            out = rasterize_projected(p, colors, opac, bg, W, H, cfg)
+            return jnp.mean((out["image"] - target) ** 2), out["image"]
+
+        (l, img), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(
+            proj.xys, proj.conics, scene["opacities"], scene["colors"])
+        return img, g
+
+    img32, g32 = run("f32")
+    img16, g16 = run("bf16")
+    # default resolution off-TPU is f32 (bit-exact path)
+    assert RasterizeConfig().resolved_kernel_compute() == "f32"
+    np.testing.assert_allclose(np.asarray(img16), np.asarray(img32),
+                               atol=2e-2, rtol=2e-2)
+    assert float(jnp.max(jnp.abs(img16 - img32))) > 0.0  # actually bf16
+    for a, b in zip(g16, g32):
+        denom = np.maximum(np.abs(np.asarray(b)), 1e-3)
+        rel = np.abs(np.asarray(a) - np.asarray(b)) / denom
+        # quantization-scale agreement, not bit-exactness
+        assert np.quantile(rel, 0.99) < 0.15, np.quantile(rel, 0.99)
