@@ -158,8 +158,15 @@ def generate_tabletop(
     seed_points: int = 2000,
     spheres=None,
     seed: int = 0,
+    view_phase: float = 0.0,
+    view_height: float = 1.4,
 ) -> Path:
-    """Write the full dataset; returns out_dir."""
+    """Write the full dataset; returns out_dir.
+
+    view_phase/view_height offset the camera orbit — a second capture of
+    the SAME scene at an interleaved phase gives held-out eval views in
+    the same (identity) world frame, the reference's train/eval split
+    role for full-scale convergence runs."""
     out_dir = Path(out_dir)
     spheres = SPHERES if spheres is None else spheres
     for sub in ("images", "depths", "normals", "masks", "boundary_mask",
@@ -177,8 +184,8 @@ def generate_tabletop(
     fd = feature_downscale
 
     for v in range(n_views):
-        ang = 2 * np.pi * v / n_views
-        eye = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang), 1.4])
+        ang = 2 * np.pi * v / n_views + view_phase
+        eye = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang), view_height])
         c2w = _look_at(eye, np.array([0.0, 0.0, 0.2]))
         view = render_view(c2w, width, height, fx, spheres)
         stem = f"r_{v:03d}"

@@ -173,7 +173,7 @@ def render(
         cfg.raster,
     )
     img = out["image"]
-    return {
+    res = {
         "rgb": img[..., 0:3],
         "feature": img[..., 3 : 3 + F],
         "depth": img[..., 3 + F : 4 + F],
@@ -183,6 +183,7 @@ def render(
         "proj": proj,
         "bins": out["bins"],
     }
+    return res
 
 
 def feature_pca_vis(feature_map: jax.Array) -> jax.Array:
@@ -251,7 +252,14 @@ def train_loss(
     # ONE fused pixel gather for pair_a + pair_b + distillation points:
     # each gather's backward scatter materializes a full (H*W, F) zero
     # buffer (~1.7 ms each at the bench point, r4 hlo_stats), so the
-    # three gathers share one.
+    # three gathers share one. NOTE (r5 measured): the backward of this
+    # gather is a ~3.8 ms strided scatter into the channel-planar
+    # gradient image; three reformulations (row-major barrier, explicit
+    # planar gather, gathering from the pre-assembly (T, P, C) tile
+    # tensor) all measured equal or worse — XLA pins the layout to the
+    # planar d(image) consumer either way, and the tile-tensor route
+    # added a dense (T, P, C) cotangent add. The simple form is the
+    # measured optimum; docs/ROUND_NOTES.md round 5.
     fea = outs["feature"]
     pts = batch["points"]
     g, p_, _ = batch["pair_a"].shape

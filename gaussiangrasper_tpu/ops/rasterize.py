@@ -98,15 +98,16 @@ class RasterizeConfig:
     input f32 (CUDA-exact, bit-matches the jnp oracle); 'bf16' casts the
     triangular-prefix and color-accumulation matmul INPUTS to bf16 with
     f32 accumulators and f32 walk carries (the r3 SSIM lesson: the
-    two-carry log-transmittance math itself stays f32) — the v5e MXU's
-    native mode, ~2-4x the f32 matmul rate that bounds both kernels (r4
-    xplane: 38.5 ms of the 72 ms device step, 'MXU-throughput-bound at
-    f32'). The ATTRIBUTE STREAM stays f32 either way: bf16 would
-    quantize splat centers by up to ~3 px at x~800 (8 mantissa bits) and
-    row gathers cost per ROW, not per byte, on this TPU (r3 probe), so a
-    half-width table buys nothing at the gather. 'auto' = bf16 on real
-    TPU (validated by the standing precision A/B gate), f32 elsewhere.
-    Env override for probes: GGT_KERNEL_COMPUTE."""
+    two-carry log-transmittance math itself stays f32). The ATTRIBUTE
+    STREAM stays f32 either way: bf16 would quantize splat centers by up
+    to ~3 px at x~800 (8 mantissa bits) and row gathers cost per ROW,
+    not per byte, on this TPU (r3 probe), so a half-width table buys
+    nothing at the gather. 'auto' = f32: the r5 hardware A/B measured
+    bf16 a WASH on device (fwd kernel 15.1 vs 14.8 ms, bwd 23.5 vs 23.7
+    — the walk is VPU/transcendental-bound on its log1p/exp chains, not
+    MXU-throughput-bound as the r4 budget assumed; docs/ROUND_NOTES.md
+    round 5), so the quantization buys nothing here. The knob stays for
+    hardware where the MXU is the wall. Env override: GGT_KERNEL_COMPUTE."""
 
     def resolved_kernel_compute(self) -> str:
         import os
@@ -116,9 +117,7 @@ class RasterizeConfig:
             return env
         if self.kernel_compute != "auto":
             return self.kernel_compute
-        from gaussiangrasper_tpu.ops.rasterize_pallas import _on_tpu
-
-        return "bf16" if _on_tpu() else "f32"
+        return "f32"
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -567,8 +566,8 @@ def rasterize_projected(
         alpha_im = alpha_im.reshape(n_chunks, TC, P)
 
     # (n_chunks, TC, P, C) -> crop tile padding -> (th, tw, ts, ts, C) -> (H, W, C)
-    out = out.reshape(T_pad, P, C)[:T]
-    out = out.reshape(th, tw, ts, ts, C).transpose(0, 2, 1, 3, 4)
+    tiles = out.reshape(T_pad, P, C)[:T]
+    out = tiles.reshape(th, tw, ts, ts, C).transpose(0, 2, 1, 3, 4)
     image = out.reshape(th * ts, tw * ts, C)[:height, :width]
     alpha_im = alpha_im.reshape(T_pad, P)[:T]
     alpha_im = alpha_im.reshape(th, tw, ts, ts).transpose(0, 2, 1, 3)
@@ -578,6 +577,13 @@ def rasterize_projected(
         "image": image,
         "alpha": alpha_image,
         "bins": bins,
+        # pre-assembly (T, P, C) view of the same composited values
+        # (same buffer as `image` pre-transpose; DCE'd when unused).
+        # Tried as the source for the sampled-feature gather in r5 and
+        # measured WORSE than gathering the assembled image (it adds a
+        # dense (T, P, C) cotangent add; docs/ROUND_NOTES.md) — kept for
+        # consumers that want tile-space access without the assembly.
+        "tiles": tiles,
     }
 
 

@@ -667,30 +667,43 @@ def _bwd_pairs_kernel(
         gscratch[:] = jnp.zeros((kr, gscratch.shape[1]), dtype)
 
     def _rfront(i):
-        """Carry-independent front half of reverse-walk chunk i: the two
+        """Carry-independent front half of reverse-walk chunk i: the
+        whole alpha/transcendental chain (the kernel's VPU wall — the r5
+        bf16 A/B proved the walk VPU-bound, not MXU-bound) plus the two
         MXU products that don't need the carries — sfx(lcomp) (the
-        composite mask comes from the saved cut index, no carry!) and the
-        gc matmul. Two fronts per iteration (UNROLL=2) overlap their MXU
-        latencies; only sfx(wgc) remains in the dependent tail. The front
-        keeps a deliberately SMALL live set (the (KC, P) alpha chain is
-        recomputed in the tail) — holding two full fronts of
-        dx/dy/sigma/alpha blocks overflowed the 16 MiB scoped VMEM."""
+        composite mask comes from the saved cut index, no carry!) and
+        the gc matmul. At UNROLL=1 (default) the chain's blocks (alpha,
+        dx, dy, exp(-sigma)) pass THROUGH to the tail so nothing is
+        computed twice — the pre-r5 tail recomputed the full chain,
+        doubling the backward's transcendentals (log1p + 2 exp per
+        chunk). UNROLL=2 holds two fronts live, so it keeps the original
+        SMALL-front design (chain recomputed in the tail): two full
+        fronts of dx/dy/esig/alpha blocks overflowed the 16 MiB scoped
+        VMEM when first tried."""
         xy, con, opac, col = fetch(i)
-        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
+        alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
         alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
         log_t = jnp.log1p(-alpha)
         composite = (i * KC + kidx) < ncomp  # int32 vs int32 (dtype-safe)
         lcomp = jnp.where(composite, log_t, 0.0)
         gc = jnp.dot(col.astype(mm), g_out_mm.T,
                      preferred_element_type=dtype)
-        return i, lcomp, sfx(lcomp), gc
+        if UNROLL == 2:
+            return i, lcomp, sfx(lcomp), gc
+        esig = jnp.exp(-sigma)
+        return i, lcomp, sfx(lcomp), gc, alpha, dx, dy, esig
 
     def _rtail(state, front):
         suffix_comp, suffix_wgc = state
-        i, lcomp, sfx_lcomp, gc = front
-        xy, con, opac, col = fetch(i)
-        alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
-        alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+        if UNROLL == 2:
+            i, lcomp, sfx_lcomp, gc = front
+            xy, con, opac, col = fetch(i)
+            alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
+            alpha = jnp.where((i * KC + kidx) < count, alpha, 0.0)
+            esig = jnp.exp(-sigma)
+        else:
+            i, lcomp, sfx_lcomp, gc, alpha, dx, dy, esig = front
+            xy, con, opac, col = fetch(i)
         composite = (i * KC + kidx) < ncomp  # int32 vs int32 (dtype-safe)
         sc_incl = sfx_lcomp + suffix_comp
         # prefix of composited log_t STRICTLY before k = total - sc_incl
@@ -702,10 +715,10 @@ def _bwd_pairs_kernel(
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = t_before * gc - (suffix + tail_pix) / one_m
         dalpha = jnp.where(composite & (w > 0.0), dalpha, 0.0)
-        raw = opac * jnp.exp(-sigma)
+        raw = opac * esig
         dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
         dsigma = -raw * dalpha
-        dopac = jnp.exp(-sigma) * dalpha
+        dopac = esig * dalpha
 
         a_ = con[:, 0:1]
         b_ = con[:, 1:2]
@@ -866,7 +879,15 @@ the gather and only costs HBM footprint."""
 def _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr):
     """ONE row gather of the depth-sorted pair attribute stream, padded by
     kr rows (so the whole-segment staging DMA of any tile stays in
-    bounds) and to LANE columns (DMA alignment)."""
+    bounds) and to LANE columns (DMA alignment).
+
+    The optimization barrier pins the pad BEFORE the gather: without it
+    XLA rewrites gather(pad(attrs)) -> pad(gather(attrs)), moving the
+    column pad from the (N, A) table to the (B, A) stream — a measured
+    1.5 ms full-width rewrite of the ~0.5 GB stream per iter (r5
+    hlo_stats pad.17) versus a ~free pad of the 200k-row table (row
+    gathers cost per row, not per byte, so gathering 128 columns costs
+    the same as 45)."""
     attrs = jnp.concatenate(
         [xys, conics, opacities[:, None], colors], axis=1
     )
@@ -874,6 +895,7 @@ def _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr):
     if a > LANE:
         raise ValueError(f"attribute width {a} exceeds the {LANE}-lane row")
     attrs = jnp.pad(attrs, ((0, 0), (0, LANE - a)))
+    attrs = jax.lax.optimization_barrier(attrs)
     gpad = jnp.pad(pair_gidx, (0, kr))
     return attrs[gpad]
 
@@ -949,10 +971,19 @@ def _composite_pairs_bwd(tw, ts, t, kr, mt, compute, res, g):
     else:
         # ONE fused scatter-add: pair-space grads -> per-Gaussian grads.
         # Rows past every walked window are exactly zero (aliased init),
-        # so garbage indices in the stream tail contribute nothing. (The
-        # LANE pad columns are dropped before the scatter.)
-        acc = jnp.zeros((n, a), gpairs.dtype).at[pair_gidx].add(
-            gpairs[:b, :a])
+        # so garbage indices in the stream tail contribute nothing.
+        # The scatter runs FULL LANE width: scatters cost per ROW
+        # (~12.7 ns, r4 hlo_stats) so the extra zero columns are ~free
+        # (measured identical at 45 vs 128 cols), while slicing columns
+        # first materialized a 1.5 ms full-stream copy; the pad columns
+        # are zeros (the kernel writes them as such), so the wide
+        # accumulator's tail columns stay zero and are cropped at
+        # (N, LANE) size — ~200x cheaper. (An index-pad mode='drop'
+        # variant that also avoids the ROW slice measured NEUTRAL: it
+        # grew the binning sorts by the pad rows and the saved slice
+        # came back as sort time; r5 probe, docs/ROUND_NOTES.md.)
+        acc = jnp.zeros((n, gpairs.shape[-1]), gpairs.dtype)
+        acc = acc.at[pair_gidx].add(gpairs[:b])[:, :a]
     t_final = jnp.exp(logt)
     gbg = jnp.einsum("tp,tpc->c", t_final, g_out)
     return (jnp.zeros_like(starts_f), jnp.zeros_like(counts_f),

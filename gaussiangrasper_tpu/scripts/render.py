@@ -43,6 +43,11 @@ def main(argv=None) -> None:
     p.add_argument("--output", type=Path, default=None)
     p.add_argument("--num-views", type=int, default=16)
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--data", type=Path, default=None,
+                   help="evaluate against THIS capture instead of the "
+                        "training one (held-out eval views — the "
+                        "reference's eval-split metrics flow, ref "
+                        "pipelines/base_pipeline.py:370-426)")
     p.add_argument("--traj", choices=("dataset", "interpolate", "spiral"),
                    default="dataset",
                    help="dataset views (with metrics) or a camera-path "
@@ -51,7 +56,8 @@ def main(argv=None) -> None:
 
     from PIL import Image
 
-    config, trainer, state = load_run(args.run_dir, step=args.step)
+    config, trainer, state = load_run(args.run_dir, step=args.step,
+                                      data_override=args.data)
     out_dir = args.output or (args.run_dir / "renders")
     for sub in ("rgb", "clip", "normal", "depth"):
         (out_dir / sub).mkdir(parents=True, exist_ok=True)
@@ -153,6 +159,11 @@ def main(argv=None) -> None:
         "results": {
             "psnr": float(np.mean([r["psnr"] for r in results])),
             "ssim": float(np.mean([r["ssim"] for r in results])),
+            **({"psnr_masked": float(np.mean(
+                [r["psnr_masked"] for r in results]))}
+               if all("psnr_masked" in r for r in results) else {}),
+            **({"lpips": float(np.mean([r["lpips"] for r in results]))}
+               if all("lpips" in r for r in results) else {}),
             "per_view": results,
         },
     }
