@@ -906,7 +906,8 @@ def _composite_pairs_fwd(starts_f, counts_f, pair_gidx, xys, conics,
     starts = starts_f.astype(jnp.int32)
     counts = counts_f.astype(jnp.int32)
     pair_attrs = _gather_pairs(pair_gidx, xys, conics, opacities, colors, kr)
-    out, alpha, logt, ncomp = _call_fwd_pairs(
+    fwd_call = _call_fwd_pairs2 if TP == 2 else _call_fwd_pairs
+    out, alpha, logt, ncomp = fwd_call(
         starts, counts, pair_attrs, bg[None, :], tw, ts, t,
         colors.shape[-1], kr, interpret=not _on_tpu(),
         mm=jnp.bfloat16 if compute == "bf16" else jnp.float32,
@@ -958,7 +959,8 @@ def _segment_reduce_pairs(pair_gidx, gpairs, n, a, mt):
 def _composite_pairs_bwd(tw, ts, t, kr, mt, compute, res, g):
     starts_f, counts_f, pair_gidx, pair_attrs, bg, logt, ncomp, n = res
     g_out, g_alpha = g
-    gpairs = _call_bwd_pairs(
+    bwd_call = _call_bwd_pairs2 if TP == 2 else _call_bwd_pairs
+    gpairs = bwd_call(
         starts_f.astype(jnp.int32), counts_f.astype(jnp.int32), pair_attrs,
         bg, g_out, g_alpha, logt, ncomp, tw, ts, kr,
         interpret=not _on_tpu(),
@@ -1033,3 +1035,353 @@ def composite_pair_stream(pair_gidx, seg_starts, tile_count, xys, conics,
         starts.astype(jnp.float32), counts.astype(jnp.float32), pair_gidx,
         xys, conics, opacities, colors, bg, tw, ts, t, kr, mt, compute,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tile-pair kernels (round 5, GGT_TP=2): TWO independent tiles per kernel
+# instance, their walks interleaved chunk-by-chunk in one fori_loop. The r5
+# A/B campaign (bf16 inputs, KC=256, transcendental dedup — all neutral or
+# worse, docs/ROUND_NOTES.md) localized the kernel wall to the SERIAL
+# per-chunk dependency chain (~1.1 us per dependent 128-row matmul/VPU
+# block); two tiles give the scheduler genuinely independent instruction
+# streams to overlap, unlike UNROLL=2 whose second front still fed the same
+# tile's carries. Cost: each pair walks to max(count0, count1), wasting
+# (max-min) chunk work — adjacent tiles have correlated occupancy, so the
+# imbalance is small at the bench point. Results are bit-identical to the
+# TP=1 kernels (per-tile masks unchanged; only instruction scheduling
+# differs).
+# ---------------------------------------------------------------------------
+
+TP = int(_os.environ.get("GGT_TP", "1"))
+"""Tiles per pair-stream kernel instance (1 or 2)."""
+
+
+def _fwd_pairs2_kernel(
+    starts_ref, counts_ref,
+    pairs_hbm, bg_ref,
+    out_ref, alpha_ref, logt_ref, ncomp_ref,
+    scratch0, scratch1, sem0, sem1,
+    *, tw: int, ts: int, c: int, kr: int, mm,
+):
+    j = pl.program_id(0)
+    p = ts * ts
+    dtype = out_ref.dtype
+    if PREFIX_IMPL == "shift":
+        pfx = _prefix_incl
+    else:
+        tri = _tri(mm)
+        pfx = lambda v: jnp.dot(tri, v.astype(mm),
+                                preferred_element_type=dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+
+    scr = (scratch0, scratch1)
+    starts = (starts_ref[2 * j], starts_ref[2 * j + 1])
+    counts = (counts_ref[2 * j], counts_ref[2 * j + 1])
+    pxy = tuple(_pixel_coords(2 * j + k, tw, ts, dtype) for k in range(2))
+
+    # start both segment DMAs, then wait both (the copies overlap)
+    segs = tuple(
+        pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(starts[k], kr), :], scr[k],
+            (sem0, sem1)[k],
+        )
+        for k in range(2)
+    )
+    for k in range(2):
+        @pl.when(counts[k] > 0)
+        def _start(seg=segs[k]):
+            seg.start()
+    for k in range(2):
+        @pl.when(counts[k] > 0)
+        def _wait(seg=segs[k]):
+            seg.wait()
+
+    def front(k, i):
+        xy, con, opac, col = _slab_unpack(scr[k][pl.ds(i * KC, KC), :], c)
+        px, py = pxy[k]
+        alpha, _, _, _ = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < counts[k], alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        return alpha, log_t, pfx(log_t), col
+
+    def tail(state, front_v):
+        accum, cum_all, logt_comp, ncomp = state
+        alpha, log_t, pfv, col = front_v
+        cum = pfv + cum_all
+        composite = cum > LOG_EPS
+        t_before = jnp.exp(cum - log_t - cum_all + logt_comp)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+        accum = accum + jnp.dot(w.T.astype(mm), col.astype(mm),
+                                preferred_element_type=dtype)
+        cum_all = cum_all + jnp.sum(log_t, axis=0, keepdims=True)
+        logt_comp = logt_comp + jnp.sum(
+            jnp.where(composite, log_t, 0.0), axis=0, keepdims=True
+        )
+        ncomp = ncomp + jnp.sum(composite.astype(dtype), axis=0,
+                                keepdims=True)
+        return accum, cum_all, logt_comp, ncomp
+
+    def init():
+        return (jnp.zeros((p, c), dtype), jnp.zeros((1, p), dtype),
+                jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype))
+
+    # walk both tiles in lockstep; the shorter tile's beyond-count chunks
+    # contribute alpha = 0 everywhere (count mask) so its carries freeze
+    n_chunks = pl.cdiv(jnp.maximum(counts[0], counts[1]), KC)
+
+    def body(i, st):
+        s0, s1 = st
+        f0 = front(0, i)
+        f1 = front(1, i)
+        return tail(s0, f0), tail(s1, f1)
+
+    s0, s1 = jax.lax.fori_loop(0, n_chunks, body, (init(), init()))
+    for k, stk in ((0, s0), (1, s1)):
+        accum, _, logt, ncomp = stk
+        t_final = jnp.exp(logt)
+        out_ref[k] = accum + t_final.T * bg_ref[0][None, :]
+        alpha_ref[k] = 1.0 - t_final.T
+        logt_ref[k] = logt.T
+        ncomp_ref[k] = ncomp.T
+
+
+def _call_fwd_pairs2(starts, counts, pair_attrs, bg, tw, ts, t, c, kr,
+                     interpret, mm=jnp.float32):
+    a = pair_attrs.shape[-1]
+    p = ts * ts
+    t2 = -(-t // 2)
+    pad = 2 * t2 - t
+    starts = jnp.pad(starts, (0, pad))
+    counts = jnp.pad(counts, (0, pad))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out, alpha, logt, ncomp = pl.pallas_call(
+        functools.partial(_fwd_pairs2_kernel, tw=tw, ts=ts, c=c, kr=kr,
+                          mm=mm),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * t2, p, c), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((2 * t2, p, 1), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((2 * t2, p, 1), pair_attrs.dtype),
+            jax.ShapeDtypeStruct((2 * t2, p, 1), pair_attrs.dtype),
+        ],
+        interpret=interpret,
+    )(starts, counts, pair_attrs, bg)
+    return (out[:t], alpha[:t, :, 0], logt[:t, :, 0], ncomp[:t, :, 0])
+
+
+def _bwd_pairs2_kernel(
+    starts_ref, counts_ref,
+    pairs_hbm, bg_ref, g_out_ref, g_alpha_ref, logt_ref, ncomp_ref,
+    gpairs_in,
+    gpairs_hbm,
+    scratch0, scratch1, gscratch0, gscratch1, sem0, sem1, gsem0, gsem1,
+    *, tw: int, ts: int, c: int, kr: int, mm,
+):
+    """Two-tile reverse walk; see _bwd_pairs_kernel for the single-tile
+    algorithm and the flush-overrun safety argument. With TP=2 the
+    overrun ordering still holds: within an instance tile 2j is flushed
+    BEFORE tile 2j+1 (whose rows it may overrun into), and instance j+1
+    rewrites anything tile 2j+1's flush overran — the grid stays pinned
+    sequential-ascending."""
+    del gpairs_in
+    j = pl.program_id(0)
+    p = ts * ts
+    dtype = g_out_ref.dtype
+    if PREFIX_IMPL == "shift":
+        sfx = _suffix_incl
+    else:
+        rtri = _rtri(mm)
+        sfx = lambda v: jnp.dot(rtri, v.astype(mm),
+                                preferred_element_type=dtype)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)
+
+    scr = (scratch0, scratch1)
+    gscr = (gscratch0, gscratch1)
+    starts = (starts_ref[2 * j], starts_ref[2 * j + 1])
+    counts = (counts_ref[2 * j], counts_ref[2 * j + 1])
+    pxy = tuple(_pixel_coords(2 * j + k, tw, ts, dtype) for k in range(2))
+
+    bg = bg_ref[0]
+    g_out = (g_out_ref[0], g_out_ref[1])
+    g_out_mm = tuple(g.astype(mm) for g in g_out)
+    tail_pix = []
+    ncomp_t = []
+    logt_tot = []
+    for k in range(2):
+        t_final = jnp.exp(logt_ref[k])
+        bg_dot_g = jnp.dot(g_out[k], bg[:, None],
+                           preferred_element_type=dtype)
+        tail_pix.append((t_final * (bg_dot_g - g_alpha_ref[k])).T)
+        ncomp_t.append(ncomp_ref[k].T.astype(jnp.int32))
+        logt_tot.append(logt_ref[k].T)
+
+    segs = tuple(
+        pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(starts[k], kr), :], scr[k],
+            (sem0, sem1)[k],
+        )
+        for k in range(2)
+    )
+    for k in range(2):
+        @pl.when(counts[k] > 0)
+        def _start(seg=segs[k]):
+            seg.start()
+    for k in range(2):
+        @pl.when(counts[k] > 0)
+        def _wait(seg=segs[k]):
+            seg.wait()
+
+    for k in range(2):
+        @pl.when(counts[k] > 0)
+        def _zero(k=k):
+            gscr[k][:] = jnp.zeros((kr, gscr[k].shape[1]), dtype)
+
+    def rfront(k, i):
+        xy, con, opac, col = _slab_unpack(scr[k][pl.ds(i * KC, KC), :], c)
+        px, py = pxy[k]
+        alpha, dx, dy, sigma = _chunk_alpha(xy, con, opac, px, py)
+        alpha = jnp.where((i * KC + kidx) < counts[k], alpha, 0.0)
+        log_t = jnp.log1p(-alpha)
+        composite = (i * KC + kidx) < ncomp_t[k]
+        lcomp = jnp.where(composite, log_t, 0.0)
+        gc = jnp.dot(col.astype(mm), g_out_mm[k].T,
+                     preferred_element_type=dtype)
+        esig = jnp.exp(-sigma)
+        return i, lcomp, sfx(lcomp), gc, alpha, dx, dy, esig
+
+    def rtail(k, state, front_v):
+        suffix_comp, suffix_wgc = state
+        i, lcomp, sfx_lcomp, gc, alpha, dx, dy, esig = front_v
+        xy, con, opac, col = _slab_unpack(scr[k][pl.ds(i * KC, KC), :], c)
+        composite = (i * KC + kidx) < ncomp_t[k]
+        sc_incl = sfx_lcomp + suffix_comp
+        t_before = jnp.exp(logt_tot[k] - sc_incl)
+        w = jnp.where(composite, alpha * t_before, 0.0)
+        wgc = w * gc
+        suffix = sfx(wgc) - wgc + suffix_wgc
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = t_before * gc - (suffix + tail_pix[k]) / one_m
+        dalpha = jnp.where(composite & (w > 0.0), dalpha, 0.0)
+        raw = opac * esig
+        dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
+        dsigma = -raw * dalpha
+        dopac = esig * dalpha
+
+        a_ = con[:, 0:1]
+        b_ = con[:, 1:2]
+        c_ = con[:, 2:3]
+        slab = jnp.concatenate(
+            [
+                -jnp.sum((a_ * dx + b_ * dy) * dsigma, axis=1)[:, None],
+                -jnp.sum((b_ * dx + c_ * dy) * dsigma, axis=1)[:, None],
+                jnp.sum(0.5 * dx * dx * dsigma, axis=1)[:, None],
+                jnp.sum(dx * dy * dsigma, axis=1)[:, None],
+                jnp.sum(0.5 * dy * dy * dsigma, axis=1)[:, None],
+                jnp.sum(dopac, axis=1)[:, None],
+                jnp.dot(w.astype(mm), g_out_mm[k],
+                        preferred_element_type=dtype),
+                jnp.zeros((KC, gscr[k].shape[1] - 6 - c), dtype),
+            ],
+            axis=1,
+        )
+        slab = jnp.where((i * KC + kidx) < counts[k], slab, 0.0)
+        gscr[k][pl.ds(i * KC, KC), :] = slab
+
+        suffix_comp = suffix_comp + jnp.sum(lcomp, axis=0, keepdims=True)
+        suffix_wgc = suffix_wgc + jnp.sum(wgc, axis=0, keepdims=True)
+        return suffix_comp, suffix_wgc
+
+    def init():
+        return (jnp.zeros((1, p), dtype), jnp.zeros((1, p), dtype))
+
+    n_chunks = pl.cdiv(jnp.maximum(counts[0], counts[1]), KC)
+
+    def body(ii, st):
+        s0, s1 = st
+        i = n_chunks - 1 - ii
+        f0 = rfront(0, i)
+        f1 = rfront(1, i)
+        return rtail(0, s0, f0), rtail(1, s1, f1)
+
+    jax.lax.fori_loop(0, n_chunks, body, (init(), init()))
+
+    # flush order: tile 2j BEFORE tile 2j+1 (overrun safety, see docstring)
+    for k in range(2):
+        gflush = pltpu.make_async_copy(
+            gscr[k], gpairs_hbm.at[pl.ds(starts[k], kr), :],
+            (gsem0, gsem1)[k],
+        )
+
+        @pl.when(counts[k] > 0)
+        def _flush(gflush=gflush):
+            gflush.start()
+            gflush.wait()
+
+
+def _call_bwd_pairs2(starts, counts, pair_attrs, bg, g_out, g_alpha, logt,
+                     ncomp, tw, ts, kr, interpret, mm=jnp.float32):
+    t = g_out.shape[0]
+    a = pair_attrs.shape[-1]
+    c = g_out.shape[-1]
+    p = ts * ts
+    t2 = -(-t // 2)
+    pad = 2 * t2 - t
+    starts = jnp.pad(starts, (0, pad))
+    counts = jnp.pad(counts, (0, pad))
+    pad3 = lambda x: jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0)),
+            pl.BlockSpec((2, p, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((2, p, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.VMEM((kr, a), pair_attrs.dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    zeros = jnp.zeros(pair_attrs.shape, pair_attrs.dtype)
+    (gpairs,) = pl.pallas_call(
+        functools.partial(_bwd_pairs2_kernel, tw=tw, ts=ts, c=c, kr=kr,
+                          mm=mm),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(pair_attrs.shape, pair_attrs.dtype)],
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(starts, counts, pair_attrs, bg[None, :] if bg.ndim == 1 else bg,
+      pad3(g_out), pad3(g_alpha[..., None]), pad3(logt[..., None]),
+      pad3(ncomp[..., None]), zeros)
+    return gpairs
