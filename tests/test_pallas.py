@@ -266,3 +266,41 @@ def test_bf16_kernel_compute_close_to_f32():
         rel = np.abs(np.asarray(a) - np.asarray(b)) / denom
         # quantization-scale agreement, not bit-exactness
         assert np.quantile(rel, 0.99) < 0.15, np.quantile(rel, 0.99)
+
+
+def test_tile_pair_kernels_match(monkeypatch):
+    """The GGT_TP=2 two-tile kernels (round 5: two independent walks
+    interleaved per kernel instance to overlap the serial per-chunk MXU
+    chains) must stay BIT-identical to the single-tile kernels — per-tile
+    masks are unchanged, only instruction scheduling differs. Uses a
+    96x80 scene so the tile count (9) is odd, exercising the
+    phantom-tile pad."""
+    from gaussiangrasper_tpu.ops import rasterize_pallas as rp
+
+    n = 350
+    w2, h2 = 96, 80
+    scene = make_scene(jax.random.key(23), n, width=w2, height=h2,
+                      n_channels=4)
+    proj = project_scene(scene)
+    bg = jnp.linspace(0.0, 1.0, 4)
+    cfg = RasterizeConfig(max_gaussians_per_tile=n, tile_chunk=8,
+                          backend="pallas")
+
+    def run():
+        def loss(xys, conics, opac, colors):
+            p2 = proj._replace(xys=xys, conics=conics)
+            out = rasterize_projected(p2, colors, opac, bg, w2, h2, cfg)
+            return (jnp.sum(out["image"] ** 2)
+                    + 0.1 * jnp.sum(out["alpha"]), out["image"])
+
+        (l, img), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(
+            proj.xys, proj.conics, scene["opacities"], scene["colors"])
+        return np.asarray(img), jax.tree.map(np.asarray, g)
+
+    img1, g1 = run()
+    monkeypatch.setattr(rp, "TP", 2)
+    img2, g2 = run()
+    np.testing.assert_array_equal(img1, img2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(a, b)
