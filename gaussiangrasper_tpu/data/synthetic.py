@@ -159,14 +159,17 @@ def generate_tabletop(
     spheres=None,
     seed: int = 0,
     view_phase: float = 0.0,
-    view_height: float = 1.4,
+    view_height=1.4,
 ) -> Path:
     """Write the full dataset; returns out_dir.
 
     view_phase/view_height offset the camera orbit — a second capture of
     the SAME scene at an interleaved phase gives held-out eval views in
     the same (identity) world frame, the reference's train/eval split
-    role for full-scale convergence runs."""
+    role for full-scale convergence runs. view_height may be a sequence
+    (cycled per view) for a multi-elevation capture — a single-ring
+    capture overfits angularly and generalizes poorly off-ring (r5
+    convergence run 1, docs/ROUND_NOTES.md)."""
     out_dir = Path(out_dir)
     spheres = SPHERES if spheres is None else spheres
     for sub in ("images", "depths", "normals", "masks", "boundary_mask",
@@ -183,9 +186,12 @@ def generate_tabletop(
     rng = np.random.default_rng(seed)
     fd = feature_downscale
 
+    heights = (view_height if isinstance(view_height, (tuple, list))
+               else [view_height])
     for v in range(n_views):
         ang = 2 * np.pi * v / n_views + view_phase
-        eye = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang), view_height])
+        eye = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang),
+                        heights[v % len(heights)]])
         c2w = _look_at(eye, np.array([0.0, 0.0, 0.2]))
         view = render_view(c2w, width, height, fx, spheres)
         stem = f"r_{v:03d}"

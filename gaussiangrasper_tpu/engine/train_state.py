@@ -65,6 +65,44 @@ def init_train_state(
     )
 
 
+def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Grow the field's capacity mid-training (host-side, outside jit).
+
+    The reference reallocates every parameter to the checkpoint's
+    Gaussian count on load (ref gaussian_splatting.py:301-313); in the
+    fixed-capacity design the analog is padding every capacity-length
+    buffer: field rows (dead-slot conventions via GaussianParams.pad_to,
+    identity quats), the alive mask (False), the per-group Adam
+    moments/accumulators (zeros — the same convention the densify
+    optimizer surgery uses for fresh rows, ref optimizers.py:352-371)
+    and the densify statistics (zeros). Use when densification saturates
+    the allocated capacity (count pins at capacity and splits starve);
+    resume training with the new capacity after re-saving."""
+    c = state.field.capacity
+    if new_capacity <= c:
+        return state
+    extra = new_capacity - c
+
+    def pad_leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c:
+            return jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
+        return x
+
+    # only FIELD parameter groups hold capacity-length optimizer state;
+    # up_net/pose leaves could coincidentally share the leading dim
+    field_groups = set(optim.FIELD_GROUP_OF.values())
+    opt = {
+        name: (jax.tree.map(pad_leaf, gs) if name in field_groups else gs)
+        for name, gs in state.opt.items()
+    }
+    return state._replace(
+        field=state.field.pad_to(new_capacity),
+        alive=jnp.pad(state.alive, (0, extra)),
+        opt=opt,
+        stats=jax.tree.map(pad_leaf, state.stats),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_step(
     state: TrainState,

@@ -161,3 +161,51 @@ def test_train_smoke_loss_decreases():
     state = refine_step(state, cfg, W, H, num_train_data=1)
     assert state.field.capacity == field.capacity
     assert bool(jnp.all(jnp.isfinite(state.field.means)))
+
+
+def test_grow_capacity_resumes_training():
+    """grow_capacity pads every capacity-length buffer (field rows, alive,
+    per-group Adam state, densify stats) and training continues with the
+    SAME trajectory for the live rows — the variable-N reload analog of
+    the reference's count-reallocating load_state_dict (ref
+    gaussian_splatting.py:301-313)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiangrasper_tpu.engine.train_state import (
+        grow_capacity, init_train_state, train_step,
+    )
+    from gaussiangrasper_tpu.models.efd import init_mlp
+
+    rng = np.random.default_rng(3)
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(0)
+    field, alive, cam = tiny_setup(key, n=48, cap=64)
+    state = init_train_state(jax.random.PRNGKey(1), field, alive,
+                             init_mlp(key, F, 512, (32,)))
+    batch = tiny_batch(rng)
+    state, _ = train_step(state, cam, batch, cfg)
+
+    grown = grow_capacity(state, 128)
+    assert grown.field.capacity == 128
+    assert int(grown.num_alive) == int(state.num_alive)
+    # live-slot params and Adam moments preserved exactly
+    np.testing.assert_array_equal(np.asarray(grown.field.means[:64]),
+                                  np.asarray(state.field.means[:64]))
+    mu_old = jax.tree.leaves(state.opt["xyz"].adam.mu)[0]
+    mu_new = jax.tree.leaves(grown.opt["xyz"].adam.mu)[0]
+    np.testing.assert_array_equal(np.asarray(mu_new[:64]),
+                                  np.asarray(mu_old))
+    assert not np.any(np.asarray(grown.alive[64:]))
+    # training continues: next step is finite and identical to continuing
+    # at the old capacity for the live rows (dead rows contribute nothing)
+    state_copy = jax.tree.map(jnp.array, state)  # train_step donates
+    cont_small, m_small = train_step(state_copy, cam, batch, cfg)
+    cont_big, m_big = train_step(grown, cam, batch, cfg)
+    assert np.isfinite(float(m_big["loss"]))
+    np.testing.assert_allclose(float(m_big["loss"]), float(m_small["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cont_big.field.means[:64]),
+        np.asarray(cont_small.field.means[:64]), atol=1e-6)
