@@ -27,6 +27,11 @@ def _gaussian_splatting(args) -> None:
         refine_every=args.refine_every,
         densify_grad_thresh=args.densify_grad_thresh,
     )
+    mt = getattr(args, "max_tiles_per_gaussian", None)
+    if mt:
+        model = dataclasses.replace(
+            model, raster=dataclasses.replace(
+                model.raster, max_tiles_per_gaussian=mt))
     config = TrainerConfig(
         data=args.data[0],
         output_dir=args.output_dir,

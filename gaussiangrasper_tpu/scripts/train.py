@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's fixed-step profiler capture)")
     p.add_argument("--feature-dim", type=int, default=32)
     p.add_argument("--sh-degree", type=int, default=4)
+    p.add_argument("--max-tiles-per-gaussian", type=int, default=None,
+                   help="binning cap on tiles one splat may cover "
+                        "(default 16). Splats beyond it are truncated "
+                        "row-major into visible RECTANGLES (reported in "
+                        "dropped_tiles); raise for high resolutions — "
+                        "a 0.15-screen splat at 512^2 spans ~25-36 "
+                        "tiles. Cost: the binning sort grid scales "
+                        "with it.")
     p.add_argument("--warmup-length", type=int, default=500)
     p.add_argument("--refine-every", type=int, default=100)
     p.add_argument("--densify-grad-thresh", type=float, default=0.0002)

@@ -36,6 +36,7 @@ SEED_POINTS = 20000
 TRAIN_HEIGHTS = [float(x) for x in __import__("os").environ.get(
     "GGT_CONV_HEIGHTS", "1.4").split(",")]
 EVAL_HEIGHT = float(__import__("os").environ.get("GGT_CONV_EVAL_H", "1.55"))
+MT = int(__import__("os").environ.get("GGT_CONV_MT", "0"))
 
 
 def ensure_data(workdir: Path):
@@ -116,6 +117,8 @@ def main():
             "--steps-per-save", "1000",
             "--capacity", str(args.capacity),
         ]
+        if MT:
+            cmd += ["--max-tiles-per-gaussian", str(MT)]
         if ckpt_dir.exists() and any(ckpt_dir.iterdir()):
             cmd += ["--load-dir", str(ckpt_dir)]
         print("RUN:", " ".join(cmd), flush=True)
