@@ -26,6 +26,7 @@ def _gaussian_splatting(args) -> None:
         warmup_length=args.warmup_length,
         refine_every=args.refine_every,
         densify_grad_thresh=args.densify_grad_thresh,
+        sky_alpha_reg=getattr(args, "sky_alpha_reg", 0.0),
     )
     mt = getattr(args, "max_tiles_per_gaussian", None)
     if mt:

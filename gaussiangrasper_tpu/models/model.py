@@ -62,6 +62,17 @@ class GaussianSplatConfig:
     feature_dim: int = 32
     clip_dim: int = 512
     depth_background: float = 10.0
+    sky_alpha_reg: float = 0.0
+    """Weight of an alpha penalty on masked-OUT pixels (beyond-reference
+    extension, OFF by default = exact loss-set parity with ref
+    get_loss_dict :841-933). The boundary mask marks rays that hit
+    nothing; the reference leaves them entirely unsupervised, so
+    floaters accumulate wherever no training view penalizes them — the
+    dominant residual error of the r5 held-out evals (clipping ~1-2 dB
+    of masked PSNR when they drift over object pixels,
+    docs/ROUND_NOTES.md round 5). `reg * mean(alpha[~valid])` drives
+    rendered opacity to zero exactly where the capture says there is
+    free space. Suggested 0.1-0.5 for mask-gated captures."""
     pose_opt_mode: str = "off"
     """Camera pose optimization: "off" (the reference's GS default,
     ref gaussian_splatting.py:191), "SO3xR3", or "SE3"
@@ -291,6 +302,13 @@ def train_loss(
         "sh_reg": sh_r,
         "scale_reg": scale_r,
     }
+    if cfg.sky_alpha_reg > 0.0:
+        # opt-in floater suppression (see config docstring): rendered
+        # alpha on masked-out (free-space) pixels is penalized to zero
+        inv = 1.0 - valid.astype(rgb.dtype)
+        loss_dict["sky_alpha_reg"] = cfg.sky_alpha_reg * (
+            jnp.sum(outs["alpha"] * inv) / jnp.maximum(jnp.sum(inv), 1.0)
+        )
     total = sum(loss_dict.values())
     bins = outs["bins"]
     # pair_overflow: pairs the static stream budget B clipped (pair-stream

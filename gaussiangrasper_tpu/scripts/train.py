@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-length", type=int, default=500)
     p.add_argument("--refine-every", type=int, default=100)
     p.add_argument("--densify-grad-thresh", type=float, default=0.0002)
+    p.add_argument("--sky-alpha-reg", type=float, default=0.0,
+                   help="opt-in alpha penalty on masked-out pixels "
+                        "(floater suppression for mask-gated captures; "
+                        "0 = reference loss-set parity)")
     return p
 
 

@@ -37,6 +37,7 @@ TRAIN_HEIGHTS = [float(x) for x in __import__("os").environ.get(
     "GGT_CONV_HEIGHTS", "1.4").split(",")]
 EVAL_HEIGHT = float(__import__("os").environ.get("GGT_CONV_EVAL_H", "1.55"))
 MT = int(__import__("os").environ.get("GGT_CONV_MT", "0"))
+SKY = float(__import__("os").environ.get("GGT_CONV_SKY", "0"))
 
 
 def ensure_data(workdir: Path):
@@ -119,6 +120,8 @@ def main():
         ]
         if MT:
             cmd += ["--max-tiles-per-gaussian", str(MT)]
+        if SKY:
+            cmd += ["--sky-alpha-reg", str(SKY)]
         if ckpt_dir.exists() and any(ckpt_dir.iterdir()):
             cmd += ["--load-dir", str(ckpt_dir)]
         print("RUN:", " ".join(cmd), flush=True)

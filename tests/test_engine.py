@@ -209,3 +209,46 @@ def test_grow_capacity_resumes_training():
     np.testing.assert_allclose(
         np.asarray(cont_big.field.means[:64]),
         np.asarray(cont_small.field.means[:64]), atol=1e-6)
+
+
+def test_sky_alpha_reg_suppresses_masked_out_alpha():
+    """Opt-in floater suppression: with sky_alpha_reg on, rendered alpha
+    on masked-OUT pixels falls relative to the reference loss set (which
+    leaves them unsupervised); masked-in supervision still applies, and
+    reg=0 keeps the loss dict at exact reference parity."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiangrasper_tpu.engine.train_state import init_train_state, train_step
+    from gaussiangrasper_tpu.models.efd import init_mlp
+    from gaussiangrasper_tpu.models.model import render
+
+    rng = np.random.default_rng(5)
+    cfg0 = small_cfg()
+    cfg1 = dataclasses.replace(cfg0, sky_alpha_reg=5.0)
+    key = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng)
+    # mask OUT the left half of the image
+    h, w = batch["image"].shape[:2]
+    valid = np.ones((h, w), bool)
+    valid[:, : w // 2] = False
+    batch["valid_mask"] = jnp.asarray(valid)
+
+    def train(cfg, steps=80):
+        field, alive, cam = tiny_setup(key, n=48, cap=64)
+        st = init_train_state(jax.random.PRNGKey(1), field, alive,
+                              init_mlp(key, F, 512, (32,)))
+        for _ in range(steps):
+            st, m = train_step(st, cam, batch, cfg)
+        out = render(st.field, st.alive, cam, st.step, cfg)
+        return np.asarray(out["alpha"]), m
+
+    alpha0, m0 = train(cfg0)
+    alpha1, m1 = train(cfg1)
+    sky0 = alpha0[~valid].mean()
+    sky1 = alpha1[~valid].mean()
+    assert sky1 < sky0 * 0.8, (sky0, sky1)
+    assert "sky_alpha_reg" in m1 and "sky_alpha_reg" not in m0
